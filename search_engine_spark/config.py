@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+Defaults mirror the reference engine's constants:
+- BM25 k1/b/epsilon: reference utils/bm250kapi_weighted.py:13 (k1=1.5,
+  b=0.75, epsilon=0.25; BASELINE.json.metric mentions k1=1.2 — we
+  parametrize and default to the reference implementation for rank-identity).
+- top_k=5, min_score=-30 (strict >), fuzzy threshold 80, <=3 fuzzy
+  matches/term: reference service/text_search.py:12,158,190,61-86.
+- stopwords: vendored copy of reference service/stopwords.txt (431 entries,
+  applied index-side only; the query-side filter is a no-op quirk we keep —
+  SURVEY.md §2.2 F5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+STOPWORDS_PATH = os.path.join(_DATA_DIR, "stopwords.txt")
+
+
+@lru_cache(maxsize=None)
+def load_stopwords(path: str = STOPWORDS_PATH) -> frozenset[str]:
+    """Stopword set, lowercased/stripped like reference build_text_index.py:102-104."""
+    with open(path, "r", encoding="utf-8") as f:
+        return frozenset(w.strip().lower() for w in f)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    k1: float = 1.5
+    b: float = 0.75
+    epsilon: float = 0.25
+    top_k: int = 5
+    min_score: float = -30.0
+    fuzzy_threshold: float = 80.0
+    fuzzy_max_matches: int = 3
+    min_fuzzy_term_len: int = 3  # vocabulary terms shorter than this are skipped
+    # index layout / scale knobs
+    block_size: int = 128              # docs per compressed posting block
+    index_partitions: int = 32         # range partitions of the postings index
+    shuffle_partitions: int = 32
+    salt_buckets: int = 16             # head-term salting fan-out
+    head_term_df_threshold: int = 100_000  # df above which a term is "head"
+    stopwords_path: str = STOPWORDS_PATH
+
+    @property
+    def stopwords(self) -> frozenset[str]:
+        return load_stopwords(self.stopwords_path)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,84 @@
+"""HTML -> text extraction, byte-identical per url (the F1 invariant).
+
+The reference extracts text with BeautifulSoup:
+    soup = BeautifulSoup(html, 'html.parser')
+    decompose all <script>/<style>; soup.get_text(' ', strip=True);
+    re.sub(r'\\s+', ' ', text).strip()
+(reference service/build_text_index.py:113-128).
+
+bs4 is not installed in this environment, so the engine ships a stdlib
+``html.parser`` extractor that reproduces the same contract:
+
+- parse leniently, decode character/entity references (convert_charrefs)
+- drop all text inside <script>/<style> subtrees
+- ignore comments / doctype / processing instructions (bs4>=4.9 get_text
+  ignores non-text NavigableStrings for HTML documents)
+- strip each text node, drop empties, join with a single space
+- collapse remaining whitespace runs to one space and trim
+
+The synthetic `pages` fixture derives its ``text`` column from this exact
+function, so the per-url invariant ``engine_extract(html) == text`` is
+enforced end-to-end by tests. If bs4 is importable the test-suite
+additionally cross-checks byte-identity against BeautifulSoup itself.
+
+Execution: Arrow-vectorized pandas UDF (BinaryType -> StringType) — Python
+is unavoidable here (HTML parsing), but batches move via Arrow, no per-row
+Python serialization.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_WS_RE = re.compile(r"\s+")
+
+# elements whose text content the reference removes entirely
+_SKIPPED = ("script", "style")
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIPPED:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIPPED and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if stripped:
+            self.parts.append(stripped)
+
+
+def extract_text_py(html: bytes | str | None) -> str:
+    """Single-value extraction (used by the fixture generator and tests)."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return _WS_RE.sub(" ", " ".join(p.parts)).strip()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized extraction: binary html column -> extracted text column."""
+    return html.map(extract_text_py)

@@ -1,0 +1,154 @@
+"""Inverted index (logical) + corpus statistics as DataFrames.
+
+Replaces the reference's in-memory BM25 state (doc_freqs/doc_len/idf/avgdl,
+reference utils/bm250kapi_weighted.py:13-54 + rank-bm25 ``_initialize``)
+with four relations:
+
+- postings(doc_id, term, tf)          — row-wise transpose of doc_freqs
+- doc_stats(doc_id, doc_len, doc_weight)
+- term_stats(term, df, idf)           — idf with the epsilon floor applied
+- corpus scalars (corpus_size, avgdl, average_idf) collected once
+
+Scale notes (designed for 10^12 docs / 1000 executors):
+- explode -> groupBy(doc_id, term) shuffles on doc_id+term: keys are
+  near-unique so no skew; partial (map-side) aggregation combines duplicate
+  terms within a doc before the shuffle.
+- groupBy(term) for document frequency is an algebraic count: map-side
+  partial aggregation already collapses each Zipf head term to ONE row per
+  map task, so the reducer for a head term receives at most
+  #map-tasks rows — no salting needed for counts. (Salting IS needed where
+  per-term posting *lists* are materialized; see index/codec.py which
+  range-partitions by (term, doc_id) instead, splitting head terms across
+  partitions.)
+- stopword filtering is a broadcast LEFT ANTI join (hash lookup per row),
+  not a 431-literal scan per token.
+- term_stats and the corpus scalars are tiny (|V| rows / 1 row) and are
+  broadcast at query time.
+
+The epsilon IDF floor needs a two-phase aggregate: average_idf is computed
+over the RAW idfs of the entire vocabulary (negatives included, divided by
+|V|) and then negative idfs are replaced by epsilon*average_idf — reference
+utils/bm250kapi_weighted.py:35-54.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.functions.tokenize import tokens_col
+
+
+def stopwords_df(spark: SparkSession, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    return spark.createDataFrame(
+        [(w,) for w in sorted(cfg.stopwords)], schema="term string"
+    )
+
+
+@dataclass
+class BM25Index:
+    """Logical BM25 index: three DataFrames + collected corpus scalars."""
+
+    postings: DataFrame      # (doc_id, term, tf:int)
+    doc_stats: DataFrame     # (doc_id, doc_len:long, doc_weight:double)
+    term_stats: DataFrame    # (term, df:long, idf:double)
+    corpus_size: int
+    avgdl: float
+    average_idf: float
+    cfg: EngineConfig
+
+    def cache(self) -> "BM25Index":
+        self.postings = self.postings.cache()
+        self.doc_stats = self.doc_stats.cache()
+        self.term_stats = self.term_stats.cache()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doc_stats, self.term_stats):
+            df.unpersist()
+
+    def vocabulary(self) -> DataFrame:
+        return self.term_stats.select("term")
+
+
+def build_postings(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf) from a document table.
+
+    Tokenize natively (JVM regex, codegen), explode, drop len<=1 tokens and
+    stopwords (broadcast anti-join), hash-aggregate term frequency.
+    """
+    spark = docs.sparkSession
+    exploded = (
+        docs.select(F.col(doc_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.length("term") > 1)
+        .join(F.broadcast(stopwords_df(spark, cfg)), "term", "left_anti")
+    )
+    return exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> BM25Index:
+    """Build the logical index from a documents DataFrame.
+
+    Reference parity: documents with empty/whitespace-only text are dropped
+    from the corpus entirely (reference service/build_text_index.py:302);
+    documents whose tokens are ALL filtered remain with doc_len=0 and can
+    surface in top-k with score 0 (J1-note zero-padding).
+    """
+    docs = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    weight = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("doc_weight")
+    base = docs.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("text"), weight)
+
+    postings = build_postings(base, cfg, "doc_id", "text")
+
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    doc_stats = (
+        base.select("doc_id", "doc_weight")
+        .join(doc_len, "doc_id", "left")
+        .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"), "doc_weight")
+    )
+
+    # corpus scalars — one tiny collect (query-time constants)
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    # document frequency + two-phase epsilon-floored idf
+    raw = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "idf_raw", F.log(F.lit(float(n)) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
+    )
+    raw = raw.cache()
+    avg_row = raw.agg(F.avg("idf_raw").alias("a")).collect()[0]
+    average_idf = float(avg_row["a"] or 0.0)
+    floor = cfg.epsilon * average_idf
+    term_stats = raw.select(
+        "term",
+        "df",
+        F.when(F.col("idf_raw") < 0, F.lit(floor)).otherwise(F.col("idf_raw")).alias("idf"),
+    )
+
+    return BM25Index(
+        postings=postings,
+        doc_stats=doc_stats,
+        term_stats=term_stats,
+        corpus_size=n,
+        avgdl=avgdl,
+        average_idf=average_idf,
+        cfg=cfg,
+    )

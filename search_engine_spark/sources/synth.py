@@ -1,0 +1,218 @@
+"""Deterministic synthetic `pages` corpus (FIXTURES.md §1-§3).
+
+Schema (BASELINE.json input_hint):
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Every page is a pure function of ``(page_id, n_pages)`` — seed 42 baked in —
+so the corpus is identical regardless of scale-out, partitioning, or whether
+it is generated distributed (``synth_pages_df``: spark.range -> mapInPandas,
+pages are synthesized ON EXECUTORS, nothing large ever sits in the driver)
+or locally (``synth_pages_local``: the same record function in a loop, used
+by the pure-Python oracle).
+
+Fixture design points exercised (FIXTURES.md):
+- Zipf(s=1.1) term draws over vocab w0000..w1999 -> head-term skew
+- 40 real stopwords + punctuation-rich tokens (don't, x-y_z, v1.2.3, café,
+  naïve) -> tokenizer regex parity incl. unicode \\w
+- log-normal doc lengths, plus empty docs / all-stopword docs /
+  single-char-token docs / ~2% near-duplicates (score ties)
+- planted rare terms (df=1,2) and a >N/2-frequency term (negative IDF ->
+  epsilon floor)
+- `text` column DERIVED from `html` via the engine's own extractor, so the
+  byte-identity invariant is enforced by construction and tested.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from search_engine_spark.functions.html_extract import extract_text_py
+
+SEED = 42
+VOCAB_SIZE = 2000
+_EPOCH = datetime(2024, 11, 13, 0, 0, 0, tzinfo=timezone.utc)
+
+# 40 stopwords sampled (deterministically: every 10th) from the vendored list
+def _sample_stopwords() -> list[str]:
+    from search_engine_spark.config import load_stopwords
+
+    alpha = sorted(w for w in load_stopwords() if w.isalpha())
+    return alpha[:: max(1, len(alpha) // 40)][:40]
+
+
+PUNCT_TOKENS = [
+    "don't", "x-y_z", "v1.2.3", "café", "naïve", "re-index", "state-of-the-art",
+    "C++", "foo.bar", "a_b", "über", "80%", "e.g.", "i.e.", "rock'n'roll",
+    "semi;colon", "quo\"te", "tab\tchar", "tilde~", "amp&ersand",
+]
+
+# Zipf(s=1.1) pmf over the vocabulary (shared, precomputed once per process)
+_ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+_ZIPF_P = (1.0 / _ranks**1.1) / np.sum(1.0 / _ranks**1.1)
+_VOCAB = np.array([f"w{i:04d}" for i in range(VOCAB_SIZE)])
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _body_tokens(page_id: int, n_pages: int) -> list[str]:
+    """The token stream of a page body (pure function of page_id)."""
+    # near-duplicates: ~2% of pages replicate the previous page's body
+    if page_id % 50 == 1 and page_id > 1:
+        return _body_tokens(page_id - 1, n_pages)
+    if page_id % 97 == 0:
+        return []  # empty doc
+    rng = np.random.RandomState((SEED * 1_000_003 + page_id) % (2**31 - 1))
+    stop = _sample_stopwords()
+    if page_id % 101 == 5:
+        # all-stopword doc: tokenizes to nothing -> doc_len 0
+        return list(rng.choice(stop, size=30))
+    if page_id % 103 == 7:
+        # single-char tokens only -> dropped by len<=1 filter
+        return list(rng.choice(list("abcdefg"), size=40))
+    length = max(5, int(rng.lognormal(mean=math.log(300), sigma=0.6)))
+    words = list(_VOCAB[rng.choice(VOCAB_SIZE, size=length, p=_ZIPF_P)])
+    # sprinkle stopwords (~20%) and punctuation-rich tokens (~2%)
+    n_stop = length // 5
+    pos = rng.choice(length, size=min(n_stop, length), replace=False)
+    for p in pos:
+        words[p] = stop[int(rng.randint(len(stop)))]
+    for _ in range(max(1, length // 50)):
+        words[int(rng.randint(length))] = PUNCT_TOKENS[int(rng.randint(len(PUNCT_TOKENS)))]
+    # planted terms
+    if page_id == 3:
+        words.append("xylophonium")          # df = 1
+    if page_id in (5, 7):
+        words.append("quartzine")            # df = 2
+    if page_id % 3 != 0:
+        words.append("ubiquitone")           # df ≈ 2N/3 -> negative raw idf
+    return words
+
+
+def gen_page_record(page_id: int, n_pages: int) -> dict:
+    """One deterministic page row (url, warc_ts, html, text, lang)."""
+    rng = np.random.RandomState((SEED * 7_000_003 + page_id) % (2**31 - 1))
+    section = f"s{page_id % 8}"
+    url = f"https://synth.example/{section}/{page_id:06d}.html"
+    title = f"Synth page {page_id} {section}"
+    toks = _body_tokens(page_id, n_pages)
+    body = " ".join(toks)
+    n_h = int(rng.randint(0, 4))
+    n_code = int(rng.randint(0, 3))
+    n_links = int(rng.randint(0, 6))
+    heads = "".join(f"<h2>heading {i} w{(page_id + i) % 100:04d}</h2>" for i in range(n_h))
+    codes = "".join(f"<pre><code>code_block_{i}(x)</code></pre>" for i in range(n_code))
+    links = "".join(
+        f'<a href="https://synth.example/s{(page_id + i) % 8}/{(page_id * 31 + i * 7) % n_pages:06d}.html">doc {i}</a>'
+        for i in range(n_links)
+    )
+    html = (
+        f"<html><head><title>{title}</title>"
+        f"<script>junk(); var x = 1 &amp;&amp; 2;</script><style>.x{{color:red}}</style></head>"
+        f"<body><nav>{links}</nav><h1>{title}</h1>{heads}{codes}"
+        f"<p>{body}</p><!-- comment ignored --></body></html>"
+    ).encode("utf-8")
+    lang = "en" if page_id % 20 < 19 else ("de" if page_id % 2 == 0 else "fr")
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=page_id),
+        "html": html,
+        "text": extract_text_py(html),
+        "lang": lang,
+    }
+
+
+def synth_pages_local(n_pages: int) -> list[dict]:
+    return [gen_page_record(i, n_pages) for i in range(n_pages)]
+
+
+def synth_pages_df(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range -> mapInPandas (Arrow batches)."""
+    parts = partitions or min(64, max(4, n_pages // 2000))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_record(int(i), n_pages) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
+            yield out
+
+    return spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def synth_graph_edges(n_pages: int) -> tuple[list[dict], list[dict]]:
+    """(nodes, edges) mirroring webpage_graph.json (FIXTURES.md §2).
+
+    ~10% of pages get no node (doc weight defaults to 1.0); edge weights in
+    [0.7, 1.68]; includes reciprocal pairs to exercise the undirected-dedup
+    quirk (reference service/scrape_web.py:417-421).
+    """
+    rng = np.random.RandomState(SEED)
+    nodes, edges = [], []
+    for i in range(n_pages):
+        if i % 10 == 9:
+            continue  # no graph node
+        url = f"https://synth.example/s{i % 8}/{i:06d}.html"
+        nodes.append(
+            {
+                "id": str(i),
+                "url": url,
+                "title": f"Synth page {i}",
+                "weight": float(0.5 + rng.rand()),
+                "initial_rank": float(rng.rand()),
+                "content_length": int(rng.randint(0, 12000)),
+                "headers_count": int(rng.randint(0, 8)),
+                "code_blocks": int(rng.randint(0, 15)),
+                "outbound_links": int(rng.randint(0, 40)),
+            }
+        )
+    ids = [n["id"] for n in nodes]
+    for i, n in enumerate(nodes):
+        deg = int(rng.randint(1, 6))
+        for _ in range(deg):
+            # preferential attachment toward low ids
+            j = int(len(ids) * rng.rand() ** 2)
+            if ids[j] != n["id"]:
+                edges.append(
+                    {"src": n["id"], "dst": ids[j], "weight": float(0.7 + 0.98 * rng.rand())}
+                )
+    # reciprocal pair to exercise undirected dedup
+    if len(ids) >= 2:
+        edges.append({"src": ids[0], "dst": ids[1], "weight": 1.0})
+        edges.append({"src": ids[1], "dst": ids[0], "weight": 1.2})
+    return nodes, edges
+
+
+# FIXTURES.md §3 — the reference query set (incl. the reference's own smoke
+# query style "whta is padas, hw ues it?" — misspellings within Indel 80)
+REFERENCE_QUERY_SET: list[str] = [
+    "w0000 w0001",                       # head terms, multi-term
+    "w0005, w0010? w0015!",              # punctuation cleanup
+    "w0002 w0002 w0002",                 # repeated tokens (multiplicity)
+    "the and of",                        # stopword-only (scores 0 via idf miss)
+    "w000 w00111",                       # OOV misspellings, fuzzy-matchable
+    "zzqqxx",                            # OOV, no fuzzy match >= 80
+    "???",                               # empty after cleanup
+    "xylophonium",                       # df=1 rare term, < k matches -> zero-pad
+    "ubiquitone",                        # negative-idf term (epsilon floor)
+    "w0042 quartzine don't",             # mixed rare + punct-rich
+]
