@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale corpus curation.
+
+No counterpart in the reference engine (its corpus is deduped by URL at
+crawl time, reference service/scrape_web.py:19,371-372); these are the
+standard web-corpus dedup family, expressed Spark-first:
+
+- exact:   md5 fingerprint groupBy (algebraic agg, skew-free)
+- minhash: k independent hash functions; we hash ``md5(term || '#' || seed)``
+  and take the lexicographic MIN hex digest per (doc, seed). Using string
+  min keeps the hash total-order identical across engines (the DuckDB
+  oracle computes the very same md5 strings).
+- LSH banding: signatures -> bands of r rows -> bucket join -> candidate
+  pairs -> exact Jaccard verification on token sets.
+- simhash: 32-bit signature from per-term md5 nibble high-bits weighted by
+  tf; near-dups have small Hamming distance.
+
+Scale notes: every step is joins + algebraic aggregations (map-side partial
+agg applies); the LSH self-join is banded so the shuffle key is
+(band_id, band_key) — bucket sizes are bounded by collision rate, not corpus
+size; exact-Jaccard verification only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.operators.corpus_stats import build_postings
+
+
+def exact_fingerprints(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp, group_size, canonical_doc_id): md5-of-text exact dedup.
+
+    canonical = min doc_id of the group; group_size 1 for unique docs.
+    """
+    fp = docs.select(F.col(doc_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical_doc_id")
+    )
+    return fp.join(groups, "fp").select("doc_id", "fp", "group_size", "canonical_doc_id")
+
+
+def doc_terms(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+              doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) distinct token sets (index-side tokenization)."""
+    return build_postings(docs, cfg, doc_col, text_col).select("doc_id", "term")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, h, minhash): one row per (doc, hash-function).
+
+    minhash = lexicographic min of md5(term || '#' || h) over the doc's
+    distinct terms — engine-portable (string order == string order).
+    """
+    terms = doc_terms(docs, cfg, doc_col, text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    hashed = terms.select(
+        "doc_id",
+        seeds,
+        "term",
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("term"), F.lit("#"), F.col("h").cast("string")).cast("binary")).alias("hv"),
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs sharing >=1 LSH band bucket."""
+    banded = signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+    band_keys = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("h", "minhash"))), lambda s: s["minhash"]
+            ),
+            ",",
+        ).alias("band_key")
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    terms: DataFrame, pairs: DataFrame, threshold: float = 0.8, round_to: int = 6
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs; keeps sim >= threshold.
+
+    Only candidate pairs are scored — the |docs|^2 blowup never happens.
+    """
+    sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
+    common = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), round_to
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
+    sig = minhash_signatures(docs, num_hashes, cfg, doc_col, text_col)
+    pairs = lsh_candidate_pairs(sig, rows_per_band)
+    terms = doc_terms(docs, cfg, doc_col, text_col)
+    return jaccard_verify(terms, pairs, threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash): tf-weighted simhash from md5 nibble high-bits.
+
+    Bit i (1-based) of a term's hash = high bit of the i-th hex nibble of
+    md5(term) — i.e. nibble in 8..f. Per doc and bit: sum tf*(+1/-1); bit
+    set iff the sum is positive. Engine-portable: md5 hex + substring only.
+    """
+    postings = build_postings(docs, cfg, doc_col, text_col)
+    with_bits = postings.select(
+        "doc_id",
+        "tf",
+        F.md5(F.col("term").cast("binary")).alias("th"),
+        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(
+            F.substring(F.col("th"), F.col("i"), 1).isin(*list("89abcdef")),
+            F.col("tf"),
+        )
+        .otherwise(-F.col("tf"))
+        .alias("contrib"),
+    )
+    bit_sums = with_bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i") - 1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

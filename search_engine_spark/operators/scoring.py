@@ -77,28 +77,17 @@ def score_query(index: BM25Index, tokens: list[str]) -> DataFrame:
     )
 
 
-def _zero_pad(index: BM25Index, scored_topk: DataFrame, k: int) -> DataFrame:
-    """If fewer than k docs matched, union zero-score docs (J1-note).
+def _result_schema(index: BM25Index):
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    Only runs the extra scan when the cheap count says it is needed; the
-    padding rows are the smallest doc_ids not already present, score 0.0 —
-    matching the dense reference ranking under the deterministic tie policy.
-    """
-    matched = scored_topk.limit(k).collect()
-    if len(matched) >= k or index.corpus_size <= len(matched):
-        return scored_topk
-    spark = scored_topk.sparkSession
-    have = [r["doc_id"] for r in matched]
-    have_df = spark.createDataFrame(
-        [(d,) for d in have], schema=scored_topk.select("doc_id").schema
+    doc_field = index.doc_stats.schema["doc_id"]
+    return StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("doc_id", doc_field.dataType, doc_field.nullable),
+            StructField("score", DoubleType(), False),
+        ]
     )
-    pad = (
-        index.doc_stats.join(F.broadcast(have_df), "doc_id", "left_anti")
-        .select("doc_id", F.lit(0.0).alias("score"))
-        .orderBy(F.col("doc_id").asc())
-        .limit(k - len(have))
-    )
-    return scored_topk.unionByName(pad)
 
 
 def search_topk(
@@ -108,27 +97,45 @@ def search_topk(
     min_score: float | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score): top-k docs for a tokenized (already expanded)
-    query, deterministic tie policy, strict min_score filter."""
+    query — rank-identical to the reference's DENSE ranking under the
+    deterministic tie policy, with a strict min_score filter.
+
+    Dense semantics (J1-note): the reference scores every doc; docs
+    containing no query term score exactly 0, which ranks ABOVE matched docs
+    with negative scores (possible when average_idf < 0 pushes the epsilon
+    floor negative) and fills out top-k when fewer than k docs match. The
+    sparse plan reproduces this by collecting the k best matched docs, and —
+    only when fewer than k of them score > 0 — fetching the (k - positives)
+    smallest unmatched doc_ids as zero-score candidates (left-anti join +
+    TakeOrdered), then merging the <= 2k candidate rows driver-side. The
+    common case (k positive matches) stays a single distributed job.
+    """
     cfg = index.cfg
     k = top_k if top_k is not None else cfg.top_k
     ms = min_score if min_score is not None else cfg.min_score
+    spark = index.postings.sparkSession
+    schema = _result_schema(index)
     if not tokens:
-        spark = index.postings.sparkSession
-        return spark.createDataFrame([], schema="rank int, doc_id string, score double")
+        return spark.createDataFrame([], schema=schema)
 
     scored = score_query(index, tokens)
-    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
-    padded = _zero_pad(index, topk, k)
-    w = (
-        padded.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .filter(F.col("score") > F.lit(ms))
-    )
-    from pyspark.sql.window import Window
-
-    return w.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        ),
-    ).select("rank", "doc_id", "score")
+    top_rows = [
+        (r["doc_id"], float(r["score"]))
+        for r in scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k).collect()
+    ]
+    positives = sum(1 for _, s in top_rows if s > 0.0)
+    if positives < k and index.corpus_size > 0:
+        pad_n = k - positives
+        pad_rows = (
+            index.doc_stats.join(scored.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+            .orderBy(F.col("doc_id").asc())
+            .limit(pad_n)
+            .collect()
+        )
+        top_rows += [(r["doc_id"], 0.0) for r in pad_rows]
+    merged = sorted(top_rows, key=lambda x: (-x[1], x[0]))[:k]
+    out = [
+        (i + 1, d, s) for i, (d, s) in enumerate(merged) if s > ms
+    ]
+    return spark.createDataFrame(out, schema=schema)

@@ -1,0 +1,121 @@
+"""Embedding similarity search (approximate-nearest-neighbor building blocks).
+
+Beyond the reference's scope (its vectors are Word2Vec doc embeddings used
+only for KMeans, reference service/document_clustering.py:334-355); a
+training-data pipeline needs similarity search over an embedding column.
+
+- ``cosine_topk``: brute-force cosine top-k of one query vector against the
+  corpus — the exactness baseline. Dot product via ``zip_with`` +
+  ``aggregate`` (JVM-side higher-order functions — no Python in the loop).
+- ``cosine_pairs_lsh``: scale path — random-hyperplane (sign-LSH) bucketing;
+  only vectors sharing a bucket are compared. Hyperplanes are deterministic
+  (seeded), so results are reproducible.
+
+Scale notes: brute force is a broadcast of ONE query row against N vectors
+(embarrassingly parallel, no shuffle); the LSH variant shuffles once on the
+bucket key whose size is controlled by the number of hyperplanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (matches the SQL oracle's
+    list_dot_product accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """(vec_id, cosine) top-k neighbors of the row with id == query_vec_id.
+
+    Ties broken by vec_id asc; the query row itself is excluded. Scores are
+    rounded so cross-engine float accumulation noise can't flip the hash.
+    """
+    base = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), (norm_col(F.col("v"))).alias("qn")
+    )
+    scored = (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot_col(F.col("v"), F.col("qv")) / (norm_col(F.col("v")) * F.col("qn")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot_col(vec, plane_col) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) near-duplicate embedding pairs via sign-LSH.
+
+    Candidate pairs share an LSH bucket; exact cosine verifies. At corpus
+    scale the bucket count 2^n_planes bounds each reduce group.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot_col(F.col("a.v"), F.col("b.v"))
+                / (norm_col(F.col("a.v")) * norm_col(F.col("b.v"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

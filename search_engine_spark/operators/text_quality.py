@@ -1,0 +1,123 @@
+"""Text analysis operators for corpus curation: quality scoring, language
+ID, token counting, fingerprinting.
+
+The reference computes content-quality heuristics per page (length / code
+blocks / link counts, reference service/build_text_index.py:158-170 and
+scrape_web.py:790-826); these generalize that into the standard
+training-data quality/language columns, all as native Catalyst expressions
+(JVM codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.functions.tokenize import WS_PATTERN
+
+# Tiny common-word lists for the n-gram-free language-ID heuristic.
+# Deliberately small + hardcoded so the SQL oracle can embed the same lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "en", "por", "con"),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (no punctuation stripping) — raw token counting."""
+    return F.filter(F.split(text, WS_PATTERN), lambda t: t != F.lit(""))
+
+
+def quality_features(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, quality_score)
+
+    quality_score (0..1) = 0.4*min(n_tokens/500,1) + 0.3*(1-punct_ratio)
+    + 0.3*min(stopword_ratio*4, 1) — length / cleanliness / naturalness,
+    the shape of the reference's content score (build_text_index.py:158-170)
+    adapted to text-only inputs.
+    """
+    stop = sorted(w for w in cfg.stopwords if len(w) > 1 and w.isalnum())
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens.cast("double") / 500.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, round_to).alias("avg_token_len"),
+        F.round(stop_ratio, round_to).alias("stopword_ratio"),
+        F.round(punct_ratio, round_to).alias("punct_ratio"),
+        F.round(quality, round_to).alias("quality_score"),
+    )
+
+
+def lang_id(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_hits): marker-word language ID.
+
+    pred = argmax over languages of marker-word hit count, deterministic
+    tie-break lang asc. A heuristic stand-in for real n-gram language ID —
+    the Spark shape (explode -> join marker table -> pivot-ish agg) is what
+    matters at scale.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    counts = [
+        F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(F.array(*[F.lit(w) for w in words]), t))
+        ).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = base.select("doc_id", *counts)
+    langs = sorted(LANG_MARKERS)
+    m = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    # first lang (asc) reaching the max -> deterministic tie-break, and the
+    # identical CASE chain is what the SQL oracle runs
+    expr = None
+    for l in langs:
+        cond = F.col(f"hits_{l}") == m
+        expr = F.when(cond, F.lit(l)) if expr is None else expr.when(cond, F.lit(l))
+    return scored.select(
+        "doc_id",
+        expr.alias("pred_lang"),
+        m.cast("long").alias("lang_hits"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp, n_chars): md5 fingerprint of whitespace-normalized text."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), WS_PATTERN, " "))
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )

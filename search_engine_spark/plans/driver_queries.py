@@ -1,0 +1,413 @@
+"""Driver-contract queries: Spark callables + DuckDB oracle SQL.
+
+Each entry implements one operator from SURVEY.md §2 (or a training-data
+pipeline extra) over the driver testdata tables
+(documents: doc_id,text,lang,source,n_chars; embeddings: vec_id,embedding,
+label; events: event_id,ts,user_id,event_type,value,props).
+
+Cross-engine equality rules:
+- every computed column is aliased identically on both sides
+- integer types are cast explicitly (Spark count->BIGINT == DuckDB CAST)
+- floats that accumulate (scores, averages of doubles, cosines) are rounded
+  (1e-12-ish engine noise << the rounding step) — sums of integers and
+  single log() calls are kept at higher precision (8 dp)
+- tokenization parity: Python/Java `(?U)\\w` vs RE2 `\\w` agree because the
+  corpus is ASCII (asserted in tests); the SQL embeds the identical
+  regex + stopword list.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT_CONFIG, load_stopwords
+from search_engine_spark.functions.tokenize import query_tokens_py
+from search_engine_spark.operators.corpus_stats import build_bm25_index, build_postings
+from search_engine_spark.operators.dedup import (
+    exact_fingerprints,
+    minhash_dup_pairs,
+    minhash_signatures,
+    simhash,
+)
+from search_engine_spark.operators.events import hourly_event_stats, sessionize
+from search_engine_spark.operators.scoring import search_topk
+from search_engine_spark.operators.similarity import cosine_topk
+from search_engine_spark.operators.text_quality import (
+    LANG_MARKERS,
+    doc_fingerprints,
+    lang_id,
+    quality_features,
+)
+
+CFG = DEFAULT_CONFIG
+BM25_QUERY = "spark table join window the"
+BM25_TOPK = 10
+EMB_QUERY_ID = 0
+EMB_TOPK = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- Spark side
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_postings(_docs(spark, sf_dir), CFG, "doc_id", "text")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    p = build_postings(docs, CFG, "doc_id", "text")
+    dl = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return docs.select("doc_id").join(dl, "doc_id", "left").select(
+        "doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("doc_len")
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return idx.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"), F.round("idf", 8).alias("idf")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return spark.createDataFrame(
+        [(idx.corpus_size, round(idx.avgdl, 8), round(idx.average_idf, 8))],
+        schema="corpus_size bigint, avgdl double, average_idf double",
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: num_documents, vocabulary_size, average_document_length."""
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    vocab = idx.term_stats.count()
+    return spark.createDataFrame(
+        [(idx.corpus_size, vocab, round(idx.avgdl, 8))],
+        schema="num_documents bigint, vocabulary_size bigint, average_document_length double",
+    )
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-style top-k: 20 most document-frequent terms."""
+    p = build_postings(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return (
+        p.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    res = search_topk(idx, query_tokens_py(BM25_QUERY), top_k=BM25_TOPK)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_fingerprints(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, cfg=CFG)
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(
+        _docs(spark, sf_dir), num_hashes=8, rows_per_band=2, threshold=0.5, cfg=CFG
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=32, cfg=CFG)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_docs(spark, sf_dir), CFG)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), EMB_QUERY_ID, EMB_TOPK)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_event_stats(_events(spark, sf_dir))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "postings": q_postings,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "index_stats": q_index_stats,
+        "top_terms": q_top_terms,
+        "bm25_topk": q_bm25_topk,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash": q_simhash,
+        "text_quality": q_quality,
+        "lang_id": q_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+    }
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def _sql_stoplist() -> str:
+    stop = sorted(
+        w for w in load_stopwords() if len(w) > 1 and re.fullmatch(r"\w+", w)
+    )
+    return ", ".join("'" + s.replace("'", "''") + "'" for s in stop)
+
+
+def _base_ctes() -> str:
+    """Shared CTE block: base docs -> tokens -> postings -> doc lengths."""
+    return f"""
+base AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+rawtok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+')) AS term
+  FROM base
+),
+toks AS (
+  SELECT doc_id, term FROM rawtok
+  WHERE length(term) > 1 AND term NOT IN ({_sql_stoplist()})
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT b.doc_id, CAST(coalesce(sum(p.tf), 0) AS BIGINT) AS doc_len
+  FROM base b LEFT JOIN postings p USING (doc_id) GROUP BY b.doc_id
+)"""
+
+
+def _stats_ctes() -> str:
+    return f"""{_base_ctes()},
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(doc_len) AS avgdl FROM doclen),
+rawidf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         ln(c.n - count(*) + 0.5) - ln(count(*) + 0.5) AS idf_raw
+  FROM postings, corpus c GROUP BY term, c.n
+),
+avgidf AS (SELECT avg(idf_raw) AS average_idf FROM rawidf),
+idf AS (
+  SELECT term, df,
+         CASE WHEN idf_raw < 0 THEN {CFG.epsilon} * a.average_idf ELSE idf_raw END AS idf
+  FROM rawidf, avgidf a
+)"""
+
+
+def _lang_list_sql(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+def driver_oracle_sql() -> dict[str, str]:
+    stop = _sql_stoplist()
+    qterms = {}
+    for t in query_tokens_py(BM25_QUERY):
+        qterms[t] = qterms.get(t, 0) + 1
+    qvals = ", ".join(f"('{t}', {c})" for t, c in sorted(qterms.items()))
+    langs = sorted(LANG_MARKERS)
+    hits_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_lang_list_sql(LANG_MARKERS[l])}, x))) AS BIGINT) AS hits_{l}"
+        for l in langs
+    )
+    pred_case = " ".join(
+        f"WHEN hits_{l} = m THEN '{l}'" for l in langs
+    )
+    return {
+        "postings": f"WITH {_base_ctes()} SELECT doc_id, term, tf FROM postings",
+        "doc_stats": f"WITH {_base_ctes()} SELECT doc_id, doc_len FROM doclen",
+        "term_stats": f"WITH {_stats_ctes()} SELECT term, df, round(idf, 8) AS idf FROM idf",
+        "corpus_stats": f"""WITH {_stats_ctes()}
+SELECT c.n AS corpus_size, round(c.avgdl, 8) AS avgdl, round(a.average_idf, 8) AS average_idf
+FROM corpus c, avgidf a""",
+        "index_stats": f"""WITH {_stats_ctes()}
+SELECT c.n AS num_documents,
+       (SELECT CAST(count(*) AS BIGINT) FROM idf) AS vocabulary_size,
+       round(c.avgdl, 8) AS average_document_length
+FROM corpus c""",
+        "top_terms": f"""WITH {_base_ctes()}
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20""",
+        "bm25_topk": f"""WITH {_stats_ctes()},
+qterms(term, qtf) AS (VALUES {qvals}),
+contrib AS (
+  SELECT p.doc_id,
+         sum(q.qtf * i.idf * p.tf * ({CFG.k1} + 1)
+             / (p.tf + {CFG.k1} * (1 - {CFG.b} + {CFG.b} * d.doc_len / c.avgdl))) AS s
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+dense AS (
+  SELECT d.doc_id, coalesce(ct.s, 0.0) AS score
+  FROM doclen d LEFT JOIN contrib ct USING (doc_id)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM dense ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+)
+SELECT rank, doc_id, score FROM ranked WHERE score > {CFG.min_score}""",
+        "exact_dedup": """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+grp AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical_doc_id
+  FROM fp GROUP BY fp
+)
+SELECT f.doc_id, f.fp, g.group_size, g.canonical_doc_id FROM fp f JOIN grp g USING (fp)""",
+        "doc_fingerprints": """SELECT doc_id,
+       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+        "minhash_signatures": f"""WITH {_base_ctes()},
+seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h)
+SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
+FROM postings p CROSS JOIN seeds s GROUP BY p.doc_id, s.h""",
+        "minhash_dup_pairs": f"""WITH {_base_ctes()},
+seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h),
+sig AS (
+  SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
+  FROM postings p CROSS JOIN seeds s GROUP BY p.doc_id, s.h
+),
+bands AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         string_agg(minhash, ',' ORDER BY h) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM postings GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS cm
+  FROM cand c
+  JOIN postings pa ON pa.doc_id = c.doc_a
+  JOIN postings pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT cm.doc_a, cm.doc_b,
+       round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) AS jaccard
+FROM common cm
+JOIN sizes sa ON sa.doc_id = cm.doc_a
+JOIN sizes sb ON sb.doc_id = cm.doc_b
+WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5""",
+        "simhash": f"""WITH {_base_ctes()},
+bitpos AS (SELECT CAST(unnest(generate_series(1, 32)) AS INT) AS i),
+contrib AS (
+  SELECT p.doc_id, g.i,
+         sum(CASE WHEN substr(md5(p.term), g.i, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN p.tf ELSE -p.tf END) AS s
+  FROM postings p CROSS JOIN bitpos g GROUP BY p.doc_id, g.i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id""",
+        "text_quality": f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS BIGINT) AS n_stop,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_tok_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(sum_tok_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)) * 0.3
+             + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+             6) AS quality_score
+FROM m""",
+        "lang_id": f"""WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hits_cols}
+  FROM t
+),
+g AS (SELECT doc_id, {", ".join(f"hits_{l}" for l in langs)},
+             greatest({", ".join(f"hits_{l}" for l in langs)}) AS m FROM h)
+SELECT doc_id, CASE {pred_case} END AS pred_lang, CAST(m AS BIGINT) AS lang_hits FROM g""",
+        "embedding_topk": f"""WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {EMB_QUERY_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> {EMB_QUERY_ID}
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TOPK}""",
+        "events_hourly": """SELECT date_trunc('hour', ts) AS ws, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2""",
+        "sessionize": """WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id""",
+    }
