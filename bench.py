@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "docs_per_sec": ..., "query_p50_sec": ...}
+
+Covers the engine's headline paths: BM25 index build (throughput), BM25
+top-k query latency (p50 over the query mix), dedup (MinHash+LSH, simhash),
+embedding similarity, text quality, event analytics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    from search_engine_spark.functions.tokenize import query_tokens_py
+    from search_engine_spark.operators.corpus_stats import build_bm25_index
+    from search_engine_spark.operators.dedup import minhash_dup_pairs, simhash
+    from search_engine_spark.operators.events import hourly_event_stats, sessionize
+    from search_engine_spark.operators.scoring import search_topk
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.operators.text_quality import quality_features
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    # 1. index build: postings + stats fully materialized
+    def build():
+        idx = build_bm25_index(docs, doc_col="doc_id", text_col="text").cache()
+        idx.postings.count()
+        idx.doc_stats.count()
+        idx.term_stats.count()
+        return idx
+
+    idx = timed("index_build", build)
+    docs_per_sec = round(n_docs / timings["index_build"], 2)
+
+    # 2. BM25 query latency over a query mix (warm index)
+    bench_queries = [
+        "spark table join window",
+        "key value hash merge",
+        "stream batch filter sort group",
+        "customer query scan the fast",
+        "vector slow big small line",
+    ]
+    lat = []
+    for i, q in enumerate(bench_queries):
+        t0 = time.time()
+        search_topk(idx, query_tokens_py(q), top_k=10).collect()
+        lat.append(time.time() - t0)
+        timings[f"q{i+1}_bm25"] = round(lat[-1], 4)
+    p50 = round(statistics.median(lat), 4)
+
+    timed("dedup_minhash_lsh", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
+    timed("dedup_simhash", lambda: simhash(docs).count())
+    timed("embedding_topk", lambda: cosine_topk(emb, 0, 10).collect())
+    timed("text_quality", lambda: quality_features(docs).count())
+    timed("events_hourly", lambda: hourly_event_stats(events).count())
+    timed("sessionize", lambda: sessionize(events).count())
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "query_p50_sec": p50,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
