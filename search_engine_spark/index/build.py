@@ -1,0 +1,294 @@
+"""Materialized compressed index: build, manifests, resume.
+
+Physical layout at ``<path>/`` (parquet + JSON manifests — an Iceberg-style
+snapshot contract; the sandbox has no Iceberg runtime jar, so the table
+format is parquet with explicit snapshot/lineage manifests carrying the
+same metadata an Iceberg commit would):
+
+    doc_dim/      (doc_id, doc_int, doc_len, doc_weight)   dense int ids
+    term_stats/   (term, df, idf)
+    postings/     (term, part_id, block_id, first_doc, last_doc, n,
+                   doc_deltas, tfs, dls, weights, max_score)
+    corpus.json   scalars (corpus_size, avgdl, average_idf, k1, b, ...)
+    _MANIFEST.json  stage manifests: input snapshot digest, row counts,
+                    wall times, per-file stats -> checkpoint/resume
+    manifests/postings_files.json  per-file lineage (file, blocks,
+                    postings, bytes, terms)
+
+Scale design:
+- dense docID assignment is the two-pass zipWithIndex pattern expressed in
+  DataFrames: repartitionByRange(doc_id) -> per-partition row_number
+  (parallel windows, partitioned by spark_partition_id) + driver-side
+  offsets from per-partition counts. No global single-partition window.
+- encoded postings are repartitionByRange(term, doc_int): a Zipf head term
+  SPANS partitions instead of hammering one reducer (the salting answer for
+  posting-list materialization), and the sorted order gives parquet
+  row-group min/max on ``term`` -> query-time predicate pushdown prunes
+  row groups.
+- blocks are self-contained (doc deltas + tfs + doc lens + weights): the
+  query path scores entirely inside the decode UDF without a doc_dim join.
+- resume: each stage records the input snapshot digest; a re-run with the
+  same input skips completed stages (checkpoint semantics per north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.index.codec import encode_blocks_for_term, varbyte_encode
+from search_engine_spark.operators.corpus_stats import BM25Index, build_bm25_index
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("part_id", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("n", IntegerType()),
+        StructField("doc_deltas", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),
+        StructField("weights", BinaryType()),
+        StructField("max_score", DoubleType()),
+    ]
+)
+
+
+def input_snapshot_digest(docs: DataFrame, doc_col: str, text_col: str) -> str:
+    """Order-insensitive content digest of the input table (snapshot id)."""
+    row = docs.select(
+        F.xxhash64(F.col(doc_col).cast("string"), F.col(text_col)).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor("h").alias("h"),  # order-insensitive, overflow-free
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def assign_dense_ids(doc_stats: DataFrame, partitions: int) -> DataFrame:
+    """(doc_id, doc_int, doc_len, doc_weight), doc_int dense 0..N-1 in
+    doc_id order — distributed zipWithIndex (no global window)."""
+    parts = (
+        doc_stats.repartitionByRange(partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {r["pid"]: r["cnt"] for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = doc_stats.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], schema="pid int, off long"
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    out = (
+        parts.withColumn("rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("rn")).cast("long").alias("doc_int"),
+            "doc_len",
+            "doc_weight",
+        )
+    )
+    return out
+
+
+def _encode_partition_factory(cfg: EngineConfig, avgdl: float):
+    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+
+    def encode(batches):
+        # accumulate the (range-partitioned, sorted) partition, then cut
+        # per-term blocks; partition id comes via a column
+        frames = [pdf for pdf in batches]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        part_id = int(pdf["pid"].iloc[0]) if len(pdf) else 0
+        out_rows = []
+        for term, g in pdf.groupby("term", sort=True):
+            docs = g["doc_int"].to_numpy(dtype=np.int64)
+            tfs = g["tf"].to_numpy(dtype=np.int64)
+            dls = g["doc_len"].to_numpy(dtype=np.int64)
+            wts = g["doc_weight"].to_numpy(dtype=np.float64)
+            idf = float(g["idf"].iloc[0])
+            contrib = wts * idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * dls / avgdl))
+            nrows = len(docs)
+            for bi, lo in enumerate(range(0, nrows, block_size)):
+                hi = min(lo + block_size, nrows)
+                deltas = np.diff(docs[lo:hi].astype(np.uint64))
+                out_rows.append(
+                    {
+                        "term": term,
+                        "part_id": part_id,
+                        "block_id": bi,
+                        "first_doc": int(docs[lo]),
+                        "last_doc": int(docs[hi - 1]),
+                        "n": hi - lo,
+                        "doc_deltas": varbyte_encode(deltas),
+                        "tfs": varbyte_encode(tfs[lo:hi].astype(np.uint64)),
+                        "dls": varbyte_encode(dls[lo:hi].astype(np.uint64)),
+                        "weights": wts[lo:hi].tobytes(),
+                        "max_score": float(contrib[lo:hi].max()) if hi > lo else 0.0,
+                    }
+                )
+        yield pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return encode
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_MANIFEST.json")
+
+
+def _load_manifest(path: str) -> dict:
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_manifest(path: str, m: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+def build_compressed_index(
+    docs: DataFrame,
+    path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+    logical_index: BM25Index | None = None,
+) -> dict:
+    """Build (or resume) the materialized index at ``path``.
+
+    Returns the manifest. Stages already recorded in the manifest for the
+    SAME input snapshot digest are skipped — resumable builds.
+    """
+    spark = docs.sparkSession
+    digest = input_snapshot_digest(docs, doc_col, text_col)
+    manifest = _load_manifest(path)
+    if manifest.get("input_digest") != digest or manifest.get("config") != _cfg_dict(cfg):
+        manifest = {"input_digest": digest, "config": _cfg_dict(cfg), "stages": {}}
+    stages = manifest["stages"]
+    all_stages = ("doc_dim", "term_stats", "corpus", "postings")
+    if all(s in stages and stages[s].get("complete") for s in all_stages):
+        return manifest  # fully built for this input snapshot — nothing to do
+
+    idx = logical_index or build_bm25_index(docs, cfg, doc_col, text_col, weight_col)
+
+    def stage_done(name: str) -> bool:
+        return name in stages and stages[name].get("complete")
+
+    def record(name: str, t0: float, **extra) -> None:
+        stages[name] = {"complete": True, "wall_sec": round(time.time() - t0, 3), **extra}
+        _save_manifest(path, manifest)
+
+    if not stage_done("doc_dim"):
+        t0 = time.time()
+        doc_dim = assign_dense_ids(idx.doc_stats, cfg.index_partitions)
+        doc_dim.write.mode("overwrite").parquet(os.path.join(path, "doc_dim"))
+        n = spark.read.parquet(os.path.join(path, "doc_dim")).count()
+        record("doc_dim", t0, rows=n)
+
+    if not stage_done("term_stats"):
+        t0 = time.time()
+        idx.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        record("term_stats", t0, rows=spark.read.parquet(os.path.join(path, "term_stats")).count())
+
+    if not stage_done("corpus"):
+        t0 = time.time()
+        with open(os.path.join(path, "corpus.json"), "w") as f:
+            json.dump(
+                {
+                    "corpus_size": idx.corpus_size,
+                    "avgdl": idx.avgdl,
+                    "average_idf": idx.average_idf,
+                    "k1": cfg.k1,
+                    "b": cfg.b,
+                    "epsilon": cfg.epsilon,
+                },
+                f,
+            )
+        record("corpus", t0)
+
+    if not stage_done("postings"):
+        t0 = time.time()
+        doc_dim = spark.read.parquet(os.path.join(path, "doc_dim"))
+        enriched = (
+            idx.postings.join(doc_dim, "doc_id")
+            .join(F.broadcast(idx.term_stats.select("term", "idf")), "term")
+            .select("term", "doc_int", "tf", "doc_len", "doc_weight", "idf")
+        )
+        sorted_parts = (
+            enriched.repartitionByRange(cfg.index_partitions, "term", "doc_int")
+            .sortWithinPartitions("term", "doc_int")
+            .withColumn("pid", F.spark_partition_id())
+        )
+        encoded = sorted_parts.mapInPandas(
+            _encode_partition_factory(cfg, idx.avgdl), POSTINGS_SCHEMA
+        )
+        encoded.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        # per-file lineage manifest (Iceberg-manifest analog)
+        written = spark.read.parquet(os.path.join(path, "postings"))
+        files = (
+            written.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.countDistinct("term").alias("terms"),
+                F.sum(F.length("doc_deltas") + F.length("tfs") + F.length("dls") + F.length("weights")).alias("payload_bytes"),
+            )
+            .collect()
+        )
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        with open(os.path.join(path, "manifests", "postings_files.json"), "w") as f:
+            json.dump([r.asDict() for r in files], f, indent=1)
+        record(
+            "postings",
+            t0,
+            blocks=int(sum(r["blocks"] for r in files)),
+            postings=int(sum(r["postings"] for r in files)),
+            payload_bytes=int(sum(r["payload_bytes"] for r in files)),
+            files=len(files),
+        )
+
+    return manifest
+
+
+def _cfg_dict(cfg: EngineConfig) -> dict:
+    return {
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "epsilon": cfg.epsilon,
+        "block_size": cfg.block_size,
+        "index_partitions": cfg.index_partitions,
+    }
