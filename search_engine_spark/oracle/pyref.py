@@ -206,6 +206,61 @@ def oracle_search(
     return [(u, s) for u, s in ranked[:top_k] if s > min_score]
 
 
+def oracle_word_suggestions(
+    index: OracleIndex,
+    word: str,
+    num_suggestions: int = 3,
+    min_similarity: float = 80.0,
+    min_word_length: int = 3,
+) -> list[tuple[str, float]]:
+    """Reference get_word_suggestions (service/text_search.py:254-293):
+    top-N vocabulary terms by Indel ratio (no length/threshold pre-filter),
+    valid iff ratio >= 90 OR (ratio >= min_similarity AND likely
+    misspelling). For OOV words the frequency rule of
+    _is_likely_misspelling (:315-323) is always true (any vocab term has
+    df >= 1, the OOV word has df 0), so validity == ratio >= min_similarity.
+    Deterministic tie policy (sim desc, term asc)."""
+    if len(word) < min_word_length or word in index.vocabulary:
+        return []
+    cand = [(w, indel_ratio(word, w)) for w in index.vocabulary]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    top = cand[:num_suggestions]
+    return [(w, s) for w, s in top if s >= 90.0 or s >= min_similarity]
+
+
+def oracle_search_with_suggestions(
+    index: OracleIndex,
+    query: str,
+    top_k: int = 5,
+    min_score: float = -30.0,
+) -> dict:
+    """Reference search_with_suggestions flow (service/text_search.py:389-477):
+    strip [,?!.]; suggestions for OOV tokens len > 2; fuzzy search; if any
+    token has a valid suggestion, substitute the top one and re-search."""
+    clean = re.sub(r"[,?!.]", " ", query).strip()
+    tokens = oracle_tokenize_query(clean)
+    suggestions = {
+        t: oracle_word_suggestions(index, t)
+        for t in dict.fromkeys(tokens)
+        if t not in index.vocabulary and len(t) > 2
+    }
+    suggestions = {t: s for t, s in suggestions.items() if s}
+    results = oracle_search(index, clean, top_k=top_k, min_score=min_score)
+    suggested_query = None
+    replacements = {t: s[0][0] for t, s in suggestions.items()}
+    if replacements:
+        cand = " ".join(replacements.get(t, t) for t in tokens)
+        if cand != clean:
+            suggested_query = cand
+            results = oracle_search(index, cand, top_k=top_k, min_score=min_score)
+    return {
+        "suggested_query": suggested_query,
+        "suggestions": suggestions,
+        "used_suggestion": suggested_query is not None,
+        "results": results,
+    }
+
+
 def pagerank_oracle(
     nodes: list[str],
     edges: list[tuple[str, str, float]],

@@ -199,6 +199,8 @@ def synth_graph_edges(n_pages: int) -> tuple[list[dict], list[dict]]:
     if len(ids) >= 2:
         edges.append({"src": ids[0], "dst": ids[1], "weight": 1.0})
         edges.append({"src": ids[1], "dst": ids[0], "weight": 1.2})
+    for i, e in enumerate(edges):
+        e["seq"] = i  # encounter order (drives first-wins undirected dedup)
     return nodes, edges
 
 
