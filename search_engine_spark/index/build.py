@@ -53,8 +53,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
-from search_engine_spark.index.codec import encode_blocks_for_term, varbyte_encode
-from search_engine_spark.operators.corpus_stats import BM25Index, build_bm25_index
+from search_engine_spark.index.codec import varbyte_encode
 
 POSTINGS_SCHEMA = StructType(
     [
@@ -84,36 +83,33 @@ def input_snapshot_digest(docs: DataFrame, doc_col: str, text_col: str) -> str:
     return f"{row['n']}:{row['h']}"
 
 
-def assign_dense_ids(doc_stats: DataFrame, partitions: int) -> DataFrame:
-    """(doc_id, doc_int, doc_len, doc_weight), doc_int dense 0..N-1 in
-    doc_id order — distributed zipWithIndex (no global window)."""
+def assign_dense_ids(df: DataFrame, partitions: int, id_col: str = "doc_id") -> DataFrame:
+    """input columns + ``doc_int`` dense 0..N-1 in id order — distributed
+    zipWithIndex (range partition -> per-partition row_number + driver-side
+    offsets; never a global single-partition window)."""
     parts = (
-        doc_stats.repartitionByRange(partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
+        df.repartitionByRange(partitions, id_col)
+        .sortWithinPartitions(id_col)
         .withColumn("pid", F.spark_partition_id())
-        .cache()
     )
+    from pyspark import StorageLevel
+
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r["pid"]: r["cnt"] for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = doc_stats.sparkSession
+    spark = df.sparkSession
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], schema="pid int, off long"
     )
-    w = Window.partitionBy("pid").orderBy("doc_id")
-    out = (
+    w = Window.partitionBy("pid").orderBy(id_col)
+    return (
         parts.withColumn("rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "pid")
-        .select(
-            "doc_id",
-            (F.col("off") + F.col("rn")).cast("long").alias("doc_int"),
-            "doc_len",
-            "doc_weight",
-        )
+        .select(*df.columns, (F.col("off") + F.col("rn")).cast("long").alias("doc_int"))
     )
-    return out
 
 
 def _encode_partition_factory(cfg: EngineConfig, avgdl: float):
@@ -179,6 +175,57 @@ def _save_manifest(path: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def tokenize_count_with_stats(
+    docs_int: DataFrame,
+    cfg: EngineConfig,
+    text_col: str = "text",
+    weight_col: str = "doc_weight",
+) -> DataFrame:
+    """(doc_int, term, tf, doc_len, doc_weight) in ONE Arrow pass — no
+    posting-level join anywhere: doc_len (post-filter token count) and the
+    doc weight ride along with every posting, so the encode stage needs
+    only a broadcast of per-term idf. Python ``re`` tokenization ==
+    reference semantics exactly."""
+    import re as _re
+
+    stop = cfg.stopwords
+
+    def run(batches):
+        import pandas as pd
+
+        punct = _re.compile(r"[^\w\s]")
+        for pdf in batches:
+            ids, terms, dls, wts = [], [], [], []
+            for did, text, w in zip(pdf["doc_int"], pdf[text_col], pdf[weight_col]):
+                toks = [
+                    t
+                    for t in punct.sub(" ", (text or "").lower()).split()
+                    if len(t) > 1 and t not in stop
+                ]
+                dl = len(toks)
+                for t in toks:
+                    ids.append(did)
+                    terms.append(t)
+                    dls.append(dl)
+                    wts.append(w)
+            if not ids:
+                continue
+            g = (
+                pd.DataFrame(
+                    {"doc_int": ids, "term": terms, "doc_len": dls, "doc_weight": wts}
+                )
+                .groupby(["doc_int", "term"], sort=False)
+                .agg(tf=("doc_len", "size"), doc_len=("doc_len", "first"), doc_weight=("doc_weight", "first"))
+                .reset_index()
+            )
+            g["tf"] = g["tf"].astype("int32")
+            yield g[["doc_int", "term", "tf", "doc_len", "doc_weight"]]
+
+    return docs_int.select("doc_int", text_col, weight_col).mapInPandas(
+        run, "doc_int long, term string, tf int, doc_len long, doc_weight double"
+    )
+
+
 def build_compressed_index(
     docs: DataFrame,
     path: str,
@@ -186,12 +233,21 @@ def build_compressed_index(
     doc_col: str = "doc_id",
     text_col: str = "text",
     weight_col: str | None = None,
-    logical_index: BM25Index | None = None,
 ) -> dict:
     """Build (or resume) the materialized index at ``path``.
 
     Returns the manifest. Stages already recorded in the manifest for the
     SAME input snapshot digest are skipped — resumable builds.
+
+    Dataflow (shuffle inventory — every shuffle justified):
+      1. dense-id assignment: ONE doc-level range shuffle (rows = docs)
+      2. postings: mapInPandas, partition-local (rows = postings, NO shuffle)
+      3. df/idf + corpus scalars: groupBy(term)/agg with map-side partial
+         aggregation (shuffled rows ~ |V| x partitions, tiny)
+      4. doc_stats: doc-level join on doc_int (rows = docs)
+      5. encode: ONE posting-level range shuffle on (term, doc_int) — the
+         irreducible one that gives the index its global term-sorted order
+         (head terms span partitions; parquet min/max prunes queries)
     """
     spark = docs.sparkSession
     digest = input_snapshot_digest(docs, doc_col, text_col)
@@ -203,7 +259,7 @@ def build_compressed_index(
     if all(s in stages and stages[s].get("complete") for s in all_stages):
         return manifest  # fully built for this input snapshot — nothing to do
 
-    idx = logical_index or build_bm25_index(docs, cfg, doc_col, text_col, weight_col)
+    from pyspark import StorageLevel
 
     def stage_done(name: str) -> bool:
         return name in stages and stages[name].get("complete")
@@ -212,16 +268,55 @@ def build_compressed_index(
         stages[name] = {"complete": True, "wall_sec": round(time.time() - t0, 3), **extra}
         _save_manifest(path, manifest)
 
+    weight = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0)).alias("doc_weight")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("text"), weight
+    )
+    docs_int = assign_dense_ids(base, cfg.index_partitions)
+    postings = tokenize_count_with_stats(docs_int, cfg, "text", "doc_weight").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # doc stats (incl. zero-token docs) + corpus scalars
+    doc_lens = postings.groupBy("doc_int").agg(F.first("doc_len").alias("dl"))
+    doc_stats = (
+        docs_int.select("doc_id", "doc_int", "doc_weight")
+        .join(doc_lens, "doc_int", "left")
+        .select(
+            "doc_id",
+            "doc_int",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("doc_len"),
+            "doc_weight",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = doc_stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+    n, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    raw = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf_raw", F.log(F.lit(float(n)) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    average_idf = float(raw.agg(F.avg("idf_raw").alias("a")).collect()[0]["a"] or 0.0)
+    floor = cfg.epsilon * average_idf
+    term_stats = raw.select(
+        "term",
+        "df",
+        F.when(F.col("idf_raw") < 0, F.lit(floor)).otherwise(F.col("idf_raw")).alias("idf"),
+    )
+
     if not stage_done("doc_dim"):
         t0 = time.time()
-        doc_dim = assign_dense_ids(idx.doc_stats, cfg.index_partitions)
-        doc_dim.write.mode("overwrite").parquet(os.path.join(path, "doc_dim"))
-        n = spark.read.parquet(os.path.join(path, "doc_dim")).count()
+        doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_dim"))
         record("doc_dim", t0, rows=n)
 
     if not stage_done("term_stats"):
         t0 = time.time()
-        idx.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
         record("term_stats", t0, rows=spark.read.parquet(os.path.join(path, "term_stats")).count())
 
     if not stage_done("corpus"):
@@ -229,9 +324,9 @@ def build_compressed_index(
         with open(os.path.join(path, "corpus.json"), "w") as f:
             json.dump(
                 {
-                    "corpus_size": idx.corpus_size,
-                    "avgdl": idx.avgdl,
-                    "average_idf": idx.average_idf,
+                    "corpus_size": n,
+                    "avgdl": avgdl,
+                    "average_idf": average_idf,
                     "k1": cfg.k1,
                     "b": cfg.b,
                     "epsilon": cfg.epsilon,
@@ -242,11 +337,8 @@ def build_compressed_index(
 
     if not stage_done("postings"):
         t0 = time.time()
-        doc_dim = spark.read.parquet(os.path.join(path, "doc_dim"))
-        enriched = (
-            idx.postings.join(doc_dim, "doc_id")
-            .join(F.broadcast(idx.term_stats.select("term", "idf")), "term")
-            .select("term", "doc_int", "tf", "doc_len", "doc_weight", "idf")
+        enriched = postings.join(F.broadcast(term_stats.select("term", "idf")), "term").select(
+            "term", "doc_int", "tf", "doc_len", "doc_weight", "idf"
         )
         sorted_parts = (
             enriched.repartitionByRange(cfg.index_partitions, "term", "doc_int")
@@ -254,7 +346,7 @@ def build_compressed_index(
             .withColumn("pid", F.spark_partition_id())
         )
         encoded = sorted_parts.mapInPandas(
-            _encode_partition_factory(cfg, idx.avgdl), POSTINGS_SCHEMA
+            _encode_partition_factory(cfg, avgdl), POSTINGS_SCHEMA
         )
         encoded.write.mode("overwrite").parquet(os.path.join(path, "postings"))
         # per-file lineage manifest (Iceberg-manifest analog)
@@ -281,6 +373,9 @@ def build_compressed_index(
             files=len(files),
         )
 
+    postings.unpersist()
+    doc_stats.unpersist()
+    raw.unpersist()
     return manifest
 
 

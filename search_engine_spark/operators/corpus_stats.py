@@ -80,10 +80,15 @@ def build_postings(
     doc_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, term, tf) from a document table.
+    """(doc_id, term, tf) from a document table — Catalyst expression form.
 
     Tokenize natively (JVM regex, codegen), explode, drop len<=1 tokens and
-    stopwords (broadcast anti-join), hash-aggregate term frequency.
+    stopwords (broadcast anti-join), hash-aggregate term frequency. NOTE:
+    the groupBy(doc_id, term) here shuffles ~one row per posting even
+    though per-doc TF is partition-local; ``build_postings_local`` avoids
+    that shuffle entirely and is what the index build uses. This form is
+    kept as the oracle-matched reference plan (it is what the DuckDB SQL
+    mirrors) and for small interactive use.
     """
     spark = docs.sparkSession
     exploded = (
@@ -92,6 +97,56 @@ def build_postings(
         .join(F.broadcast(stopwords_df(spark, cfg)), "term", "left_anti")
     )
     return exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+
+
+def build_postings_local(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf) with NO shuffle — the scalable build path.
+
+    All tokens of a document live in its own row, so per-doc term frequency
+    is a partition-LOCAL computation; shuffling 10^10 exploded token rows by
+    (doc_id, term) — what the naive explode->groupBy plan does — is pure
+    waste. One Arrow pass per partition: Python ``re`` tokenization
+    (bit-identical to the reference tokenizer, no JVM-regex dialect
+    concerns), then a single C-speed pandas groupby over the batch's
+    (row, term) pairs. Output rows are already distinct on (doc_id, term).
+    """
+    import re as _re
+
+    stop = cfg.stopwords
+    out_schema = (
+        f"doc_id {docs.schema[doc_col].dataType.simpleString()}, term string, tf int"
+    )
+
+    def count_terms(batches):
+        import pandas as pd
+
+        punct = _re.compile(r"[^\w\s]")
+        for pdf in batches:
+            ids: list = []
+            terms: list[str] = []
+            for did, text in zip(pdf[doc_col], pdf[text_col]):
+                toks = punct.sub(" ", (text or "").lower()).split()
+                for t in toks:
+                    if len(t) > 1 and t not in stop:
+                        ids.append(did)
+                        terms.append(t)
+            if not ids:
+                continue
+            g = (
+                pd.DataFrame({"doc_id": ids, "term": terms})
+                .groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            g["tf"] = g["tf"].astype("int32")
+            yield g
+
+    return docs.select(doc_col, text_col).mapInPandas(count_terms, out_schema)
 
 
 def build_bm25_index(
@@ -114,13 +169,20 @@ def build_bm25_index(
     ).alias("doc_weight")
     base = docs.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("text"), weight)
 
-    postings = build_postings(base, cfg, "doc_id", "text")
+    # postings feed >= 3 downstream computations (doc_len, df/idf, the
+    # caller's scoring or encode jobs) — persist once so the
+    # tokenize+explode+agg chain (incl. any upstream extraction UDF) is not
+    # recomputed per action; spills to disk if it exceeds executor memory
+    from pyspark import StorageLevel
+
+    postings = build_postings_local(base, cfg, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
 
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_stats = (
         base.select("doc_id", "doc_weight")
         .join(doc_len, "doc_id", "left")
         .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"), "doc_weight")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # corpus scalars — one tiny collect (query-time constants)
@@ -133,7 +195,7 @@ def build_bm25_index(
     raw = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
         "idf_raw", F.log(F.lit(float(n)) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
     )
-    raw = raw.cache()
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     avg_row = raw.agg(F.avg("idf_raw").alias("a")).collect()[0]
     average_idf = float(avg_row["a"] or 0.0)
     floor = cfg.epsilon * average_idf

@@ -13,6 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return os.environ["SPARK_LOCAL_DIRS"]
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "search-engine-spark",
     master: str | None = None,
@@ -29,12 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every executor thread — size the
+        # heap for 32 concurrent tasks (the box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/spill files on tmpfs when available — the sandbox's
+        # virtio disk collapses under many concurrent spill writers
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,78 @@
+"""Scaling-efficiency evidence (north rule, sandbox substitute).
+
+Runs the identical index-build job (tools/scaling_job.py) on the identical
+synthetic pages input at local[8] and local[32] in FRESH JVMs, computes
+throughput at both and efficiency = (R_32/R_8) / (32/8), and appends the
+results to BENCH.md.
+
+Usage: python tools/bench_scaling.py [n_pages] [small_cores] [big_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+BIG = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+INPUT = f"/tmp/scaling_pages_{N_PAGES}.parquet"
+
+
+def ensure_input() -> None:
+    if os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        return
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.synth import synth_pages_df
+
+    spark = get_spark(app_name="gen-scaling-input", master="local[32]")
+    synth_pages_df(spark, N_PAGES, partitions=64).write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def run(master: str, out: str) -> dict:
+    p = subprocess.run(
+        [sys.executable, "tools/scaling_job.py", master, INPUT, out],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ensure_input()
+    r_small = run(f"local[{SMALL}]", f"/tmp/scaling_idx_{SMALL}")
+    r_big = run(f"local[{BIG}]", f"/tmp/scaling_idx_{BIG}")
+    eff = (r_big["docs_per_sec"] / r_small["docs_per_sec"]) / (BIG / SMALL)
+    result = {
+        "n_pages": N_PAGES,
+        "small": r_small,
+        "big": r_big,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"""
+## Scaling run {stamp} — {N_PAGES} pages (full build: extract -> tokenize -> stats -> compressed index)
+
+| cores | wall (s) | docs/sec |
+|---|---|---|
+| local[{SMALL}] | {r_small['wall_sec']} | {r_small['docs_per_sec']} |
+| local[{BIG}] | {r_big['wall_sec']} | {r_big['docs_per_sec']} |
+
+Scaling efficiency (R_{BIG}/R_{SMALL})/({BIG}/{SMALL}) = **{result['scaling_efficiency']}** (target >= 0.8: {'PASS' if result['pass'] else 'FAIL'})
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
