@@ -82,3 +82,50 @@ def extract_text_py(html: bytes | str | None) -> str:
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Vectorized extraction: binary html column -> extracted text column."""
     return html.map(extract_text_py)
+
+
+class _TitleExtractor(HTMLParser):
+    """<title> text, falling back to the first <h1> (reference
+    scrape_web.py:127-134 extract_title semantics)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._stack: list[str] = []
+        self.title: str | None = None
+        self.h1: str | None = None
+
+    def handle_starttag(self, tag, attrs) -> None:  # noqa: ANN001
+        if tag in ("title", "h1"):
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag) -> None:  # noqa: ANN001
+        if self._stack and self._stack[-1] == tag:
+            self._stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if not self._stack:
+            return
+        top = self._stack[-1]
+        if top == "title" and self.title is None:
+            self.title = data.strip()
+        elif top == "h1" and self.h1 is None:
+            self.h1 = data.strip()
+
+
+def extract_title_py(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _TitleExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p.title or p.h1 or ""
+
+
+@pandas_udf(StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_title_py)

@@ -1,0 +1,134 @@
+"""HTML extraction byte-identity invariant + title extraction + salted
+aggregation equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.html_extract import (
+    extract_text_py,
+    extract_text_udf,
+    extract_title_py,
+    extract_title_udf,
+)
+from search_engine_spark.operators.skew import (
+    head_keys,
+    salted_collect_list,
+    salted_count_distinct,
+)
+
+EDGE_HTML = [
+    b"<html><head><title>T</title><script>var x=1;</script><style>.a{}</style></head><body><p>hello  world</p></body></html>",
+    b"<p>a<b>b</b>c</p>",                              # adjacent inline text
+    b"<p>ent &amp; ities &lt;ok&gt; &#65;</p>",        # charrefs decoded
+    b"<div>keep</div><!-- comment gone --><div>this</div>",
+    b"<script>only script</script>",                   # empty after skip
+    b"",                                               # empty doc
+    b"<p>unclosed <div>nested",                        # lenient parsing
+    b"<body>caf\xc3\xa9 na\xc3\xafve</body>",          # utf-8
+    b"<style>bad { <p>not text</p> } </style><p>real</p>",
+]
+
+EXPECTED = [
+    "T hello world",
+    "a b c",
+    "ent & ities <ok> A",
+    "keep this",
+    "",
+    "",
+    "unclosed nested",
+    "café naïve",
+    "real",
+]
+
+
+def test_extract_text_unit_cases():
+    for html, want in zip(EDGE_HTML, EXPECTED):
+        assert extract_text_py(html) == want, html
+
+
+def test_extract_text_udf_matches_python(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(EDGE_HTML)], "id int, html binary"
+    )
+    rows = df.select("id", extract_text_udf(F.col("html")).alias("t")).orderBy("id").collect()
+    for r in rows:
+        assert r["t"] == extract_text_py(EDGE_HTML[r["id"]])
+
+
+def test_per_url_byte_identity_invariant(tiny_pages):
+    """input_hint invariant: engine_extract(html) == text for every url."""
+    mismatches = (
+        tiny_pages.select(
+            "url", "text", extract_text_udf(F.col("html")).alias("extracted")
+        )
+        .filter(F.col("text") != F.col("extracted"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("bs4"),
+    reason="bs4 not installed in this environment",
+)
+def test_extraction_matches_bs4_if_available(tiny_pages):
+    """When bs4 exists, cross-check byte-identity against BeautifulSoup."""
+    import re
+
+    from bs4 import BeautifulSoup
+
+    for r in tiny_pages.select("url", "html").limit(30).collect():
+        soup = BeautifulSoup(bytes(r["html"]).decode("utf-8"), "html.parser")
+        for el in soup(["script", "style"]):
+            el.decompose()
+        want = re.sub(r"\s+", " ", soup.get_text(" ", strip=True)).strip()
+        assert extract_text_py(r["html"]) == want, r["url"]
+
+
+def test_extract_title():
+    assert extract_title_py(b"<title>My Title</title><h1>H</h1>") == "My Title"
+    assert extract_title_py(b"<body><h1>Fallback H1</h1></body>") == "Fallback H1"
+    assert extract_title_py(b"<p>nothing</p>") == ""
+
+
+def test_extract_title_udf(tiny_pages):
+    rows = tiny_pages.select("url", extract_title_udf(F.col("html")).alias("t")).limit(10).collect()
+    for r in rows:
+        assert r["t"].startswith("Synth page "), r
+
+
+def test_salted_collect_list_equivalence(spark):
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i:03d}") for i in range(300)], "k int, v string"
+    )
+    plain = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    salted = {
+        r["k"]: list(r["values"])
+        for r in salted_collect_list(df, "k", "v", salt_buckets=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_count_distinct_equivalence(spark):
+    df = spark.createDataFrame(
+        [(i % 5, f"v{i % 37}") for i in range(1000)], "k int, v string"
+    )
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {r["k"]: r["n_distinct"] for r in salted_count_distinct(df, "k", "v").collect()}
+    assert plain == salted
+
+
+def test_head_keys(spark):
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else "cold"), i) for i in range(1000)], "k string, v int"
+    )
+    hot = [r["k"] for r in head_keys(df, "k", threshold=500).collect()]
+    assert hot == ["hot"]
