@@ -1,0 +1,157 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A training-data pipeline at corpus scale carries media as ``binary`` columns
+with a typed metadata struct; decode/feature-extraction runs as Arrow-batched
+pandas UDFs (mapInPandas). The image/audio libraries are NOT installed in
+this container, so the decode kernels are STUBBED:
+
+- ``decode_image_batch`` raises NotImplementedError unless PIL is importable
+  (gated import), falling back to a clearly-marked DETERMINISTIC FAKE
+  decode (content-hash-derived pseudo-pixels) when ``allow_fake=True`` so
+  the Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+  shape — is real and tested end-to-end.
+- ``extract_media_features`` produces a deterministic feature vector from
+  the bytes (rolling-hash moments): a stand-in with the exact shape a real
+  embedding UDF would have (binary -> array<float>).
+- ``frame_sample_video`` emits (media_id, frame_no, frame_bytes) rows: the
+  explode-shaped mapInPandas used for frame-level processing; the frame
+  splitter is a deterministic byte-chunker standing in for a real demuxer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+)
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:long, sample_rate:int>"
+)
+
+
+def media_table_from_binaries(spark, rows: list[tuple]) -> DataFrame:
+    """rows: (media_id, kind, payload, (mime, width, height, duration_ms,
+    sample_rate)) -> typed media table."""
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_batch(media: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """(media_id, width, height, pixels_digest) — image decode.
+
+    Real path requires PIL (not installed here -> NotImplementedError);
+    fake path derives deterministic pseudo-dimensions/pixels from the
+    payload hash. The mapInPandas plumbing is identical either way.
+    """
+    use_fake = not _pil_available()
+    if use_fake and not allow_fake:
+        raise NotImplementedError(
+            "image decode requires PIL which is not installed; pass "
+            "allow_fake=True for the deterministic stand-in decode"
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, digs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if use_fake:
+                    h = hashlib.sha256(b).digest()
+                    w = 16 + h[0] % 64
+                    ht = 16 + h[1] % 64
+                    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+                    pixels = rng.randint(0, 256, size=(ht, w), dtype=np.uint8)
+                else:  # pragma: no cover - PIL not present in this env
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    w, ht = img.size
+                    pixels = np.asarray(img)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(ht)
+                digs.append(hashlib.sha256(pixels.tobytes()).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels_digest": digs}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, width int, height int, pixels_digest string"
+    )
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def extract_media_features(payload):  # type: ignore[no-untyped-def]
+    """binary -> 8-dim deterministic feature vector (rolling-hash moments).
+
+    Stand-in with the exact signature/shape of a real embedding UDF; swap
+    the body for a model call when the runtime has one.
+    """
+    import pandas as pd
+
+    out = []
+    for b in payload:
+        b = bytes(b or b"")
+        if not b:
+            out.append([0.0] * 8)
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        h = int(hashlib.sha256(b).hexdigest()[:8], 16) / 0xFFFFFFFF
+        out.append(
+            [
+                float(arr.mean() / 255.0),
+                float(arr.std() / 255.0),
+                float(arr.min() / 255.0),
+                float(arr.max() / 255.0),
+                float(len(b) % 997) / 997.0,
+                float(np.diff(arr).mean() / 255.0) if len(arr) > 1 else 0.0,
+                h,
+                float(arr[:: max(1, len(arr) // 16)].sum() % 1009) / 1009.0,
+            ]
+        )
+    return pd.Series(out)
+
+
+def frame_sample_video(
+    media: DataFrame, every_nth: int = 2, frame_bytes: int = 1024
+) -> DataFrame:
+    """(media_id, frame_no, frame) — frame sampling as an exploding
+    mapInPandas. Deterministic byte-chunker stands in for a demuxer."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                chunks = [b[i : i + frame_bytes] for i in range(0, len(b), frame_bytes)]
+                for no, ch in enumerate(chunks):
+                    if no % every_nth == 0:
+                        ids.append(mid)
+                        nos.append(no)
+                        frames.append(ch)
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, "media_id long, frame_no int, frame binary"
+    )

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, UDF signatures, batch shapes, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.multimodal.media import (
+    decode_image_batch,
+    extract_media_features,
+    frame_sample_video,
+    media_table_from_binaries,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfakepayload" * 50, ("image/png", 0, 0, 0, 0)),
+        (2, "image", b"\xff\xd8jpegfake" * 80, ("image/jpeg", 0, 0, 0, 0)),
+        (3, "video", b"\x00\x00movfake" * 700, ("video/mp4", 0, 0, 9000, 0)),
+        (4, "audio", b"RIFFwavfake" * 100, ("audio/wav", 0, 0, 3000, 16000)),
+        (5, "image", b"", ("image/png", 0, 0, 0, 0)),
+    ]
+    return media_table_from_binaries(spark, rows).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"].startswith("struct<mime:string")
+
+
+def test_decode_requires_lib_or_fake(media):
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(media).collect()
+
+
+def test_fake_decode_deterministic(media):
+    a = {r["media_id"]: (r["width"], r["height"], r["pixels_digest"])
+         for r in decode_image_batch(media, allow_fake=True).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["pixels_digest"])
+         for r in decode_image_batch(media, allow_fake=True).collect()}
+    assert a == b
+    assert set(a) == {1, 2, 5}  # only image rows
+    assert all(16 <= w < 80 for w, _, _ in a.values())
+
+
+def test_feature_vectors(media):
+    rows = media.select("media_id", extract_media_features(F.col("payload")).alias("f")).collect()
+    feats = {r["media_id"]: r["f"] for r in rows}
+    assert all(len(v) == 8 for v in feats.values())
+    assert feats[5] == [0.0] * 8  # empty payload -> zero vector
+    assert feats[1] != feats[2]
+
+
+def test_frame_sampling(media):
+    frames = frame_sample_video(media, every_nth=2, frame_bytes=1024).collect()
+    assert all(r["media_id"] == 3 for r in frames)
+    nos = sorted(r["frame_no"] for r in frames)
+    assert nos == list(range(0, max(nos) + 1, 2))
+    assert all(len(r["frame"]) <= 1024 for r in frames)

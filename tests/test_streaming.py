@@ -1,0 +1,106 @@
+"""Structured Streaming: incremental index == batch index; watermarked
+window aggregation matches the batch operator on closed windows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.corpus_stats import build_bm25_index
+from search_engine_spark.operators.scoring import search_topk
+from search_engine_spark.streaming.ingest import (
+    IncrementalIndexer,
+    streaming_hourly_event_stats,
+)
+
+
+def test_incremental_index_equals_batch(spark, tiny_pages, tmp_path):
+    """Stream pages in two file batches -> assembled index gives the same
+    search results as a batch build over all pages."""
+    src = str(tmp_path / "stream_src")
+    half1 = tiny_pages.filter(F.col("url") < "https://synth.example/s4")
+    half2 = tiny_pages.filter(F.col("url") >= "https://synth.example/s4")
+    pages_flat = tiny_pages.select("url", "text")
+    half1.select("url", "text").write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "inc_index")
+    idxer = IncrementalIndexer(spark, store)
+    schema = "url string, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = idxer.start(stream, checkpoint=str(tmp_path / "cp1"))
+    q.awaitTermination(120)
+
+    # second batch arrives
+    half2.select("url", "text").write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = idxer.start(stream2, checkpoint=str(tmp_path / "cp1"))
+    q2.awaitTermination(120)
+
+    inc = idxer.to_bm25_index()
+    batch = build_bm25_index(pages_flat, doc_col="url", text_col="text")
+    assert inc.corpus_size == batch.corpus_size
+    assert inc.avgdl == pytest.approx(batch.avgdl, abs=1e-9)
+    for query in [["w0000", "w0001"], ["xylophonium"], ["ubiquitone"]]:
+        a = [(r["doc_id"], r["score"]) for r in search_topk(inc, query).orderBy("rank").collect()]
+        b = [(r["doc_id"], r["score"]) for r in search_topk(batch, query).orderBy("rank").collect()]
+        assert [x for x, _ in a] == [x for x, _ in b], query
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-9)
+
+
+def test_batch_replay_is_idempotent(spark, tiny_pages, tmp_path):
+    """Re-delivering the same batch_id must not double-count (exactly-once)."""
+    store = str(tmp_path / "inc2")
+    idxer = IncrementalIndexer(spark, store)
+    part = tiny_pages.select("url", "text").limit(20)
+    idxer.process_batch(part, batch_id=0)
+    n1 = idxer._state()["n_docs"]
+    idxer.process_batch(part, batch_id=0)  # replay
+    assert idxer._state()["n_docs"] == n1
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    """availableNow file stream through the watermarked window agg ==
+    batch date_trunc aggregation (closed windows, counts + avg)."""
+    events = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 {h:02d}:{m:02d}:00", i % 5, "click" if i % 2 else "view", float(i))
+            for i, (h, m) in enumerate((h, m) for h in range(4) for m in (0, 20, 40))
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    src = str(tmp_path / "ev_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    out = streaming_hourly_event_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ev"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .collect()
+    }
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert k in want and v[0] == want[k][0] and v[1] == pytest.approx(want[k][1]), k
