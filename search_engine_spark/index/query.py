@@ -218,6 +218,12 @@ class CompressedIndex:
             )
         global_max = {t: max(m for m, _, _ in v) for t, v in per_term.items()}
         total_blocks = sum(len(v) for v in per_term.values())
+        # WAND precondition: non-negative contributions. A negative
+        # epsilon-floored IDF (average_idf < 0 corpora) makes partial sums
+        # UPPER bounds instead of lower bounds — pruning would be unsound,
+        # so fall back to the full decode (rare, pathological corpora).
+        if any(m < 0 for m in global_max.values()):
+            return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
 
         # phase 1: theta from each term's best block (true partial scores)
         best = {t: max(v) for t, v in per_term.items()}
@@ -234,15 +240,16 @@ class CompressedIndex:
         else:
             theta = float(theta_rows[-1]["score"])
 
-        # phase 2: survivor blocks
-        sum_gm = sum(global_max.values())
+        # phase 2: survivor blocks (slack clamps at 0: a doc missing term t'
+        # contributes 0, never less)
+        sum_gm = sum(max(m, 0.0) for m in global_max.values())
         keep: list[tuple[str, int, int]] = []
         for t, v in per_term.items():
-            slack = sum_gm - global_max[t]
+            slack = sum_gm - max(global_max[t], 0.0)
             for m, pid, bid in v:
                 if m + slack >= theta:
                     keep.append((t, pid, bid))
-        if len(keep) == total_blocks or theta == float("-inf"):
+        if not keep or len(keep) == total_blocks or theta == float("-inf"):
             return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
 
         keep_df = self.spark.createDataFrame(keep, "term string, part_id int, block_id int")
@@ -259,7 +266,7 @@ class CompressedIndex:
             t: max((m for m, pid, bid in v if (t, pid, bid) not in kept_set), default=0.0)
             for t, v in per_term.items()
         }
-        slack_all = sum(pruned_max.values())
+        slack_all = sum(max(m, 0.0) for m in pruned_max.values())
         finalists = partial.filter(F.col("score") + F.lit(slack_all) >= F.lit(theta_k))
         fin_ids = [int(r["doc_int"]) for r in finalists.select("doc_int").collect()]
         if not fin_ids:

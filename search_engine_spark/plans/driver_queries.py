@@ -161,6 +161,106 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _synthetic_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic link graph derived from doc_ids (same formula as the
+    SQL oracle): two out-edges per doc, self-loops removed."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+        (F.lit(1.0) + (F.col("doc_id") % 5) / F.lit(10.0)).alias("weight"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 3) % n).alias("dst"),
+        (F.lit(0.7) + (F.col("doc_id") % 3) / F.lit(10.0)).alias("weight"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return nodes, edges, n
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, fixed iterations (SQL oracle unrolls the same)."""
+    from search_engine_spark.operators.graph import pagerank
+
+    nodes, edges, _ = _synthetic_graph(spark, sf_dir)
+    ranks = pagerank(
+        nodes, edges, damping=PAGERANK_DAMPING,
+        max_iterations=PAGERANK_ITERS, tolerance=-1.0,
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("final_rank", 8).alias("rank")
+    )
+
+
+def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: top-5 pages by in-degree over the synthetic graph."""
+    _, edges, _ = _synthetic_graph(spark, sf_dir)
+    return (
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+        .orderBy(F.col("in_degree").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the MATERIALIZED compressed index with block-max pruning —
+    proven rank/score-identical to the plain SQL oracle by the driver."""
+    import hashlib
+
+    from search_engine_spark.index.build import build_compressed_index
+    from search_engine_spark.index.query import CompressedIndex
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/driver_cidx_{tag}"
+    build_compressed_index(_docs(spark, sf_dir), path, CFG)  # resume-aware
+    ci = CompressedIndex(spark, path, CFG)
+    res = ci.search_topk(query_tokens_py(BM25_QUERY), top_k=BM25_TOPK, use_wand=True)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_distinct_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted exact distinct (skew operator) vs plain COUNT(DISTINCT)."""
+    from search_engine_spark.operators.skew import salted_count_distinct
+
+    docs = _docs(spark, sf_dir)
+    p = build_postings(docs, CFG, "doc_id", "text")
+    pairs = p.join(docs.select("doc_id", "source"), "doc_id").select("source", "term")
+    return salted_count_distinct(pairs, "source", "term", salt_buckets=8)
+
+
+def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: fuzzy vocabulary matches for misspelled probes (rows-only: the
+    Indel-ratio UDF has no DuckDB equivalent; parity is pytest-enforced
+    against the pure-Python oracle)."""
+    from search_engine_spark.operators.fuzzy_expand import fuzzy_matches_df
+
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return fuzzy_matches_df(idx.vocabulary(), ["tabel", "windoww", "sparc"], 80.0, 3)
+
+
+def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/W3: extractive summaries (rows-only; per-doc numpy TF-IDF)."""
+    from search_engine_spark.operators.summarize import summarize_docs
+
+    return summarize_docs(_docs(spark, sf_dir).limit(50), num_sentences=2)
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: KMeans cluster size distribution (rows-only; ML pipeline)."""
+    from search_engine_spark.operators.clustering import cluster_documents, cluster_sizes
+
+    labels = cluster_documents(_docs(spark, sf_dir), n_clusters=4)
+    return cluster_sizes(labels)
+
+
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": q_postings,
@@ -180,6 +280,13 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "pagerank": q_pagerank,
+        "degree_topk": q_degree_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "distinct_terms_per_source": q_distinct_terms_per_source,
+        "fuzzy_matches": q_fuzzy_matches,
+        "summarize": q_summarize,
+        "cluster_sizes": q_cluster_sizes,
     }
 
 
@@ -234,6 +341,46 @@ def _lang_list_sql(words: tuple[str, ...]) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
 
 
+def _pagerank_sql() -> str:
+    """Fixed-iteration weighted PageRank, iterations UNROLLED as chained
+    CTEs (recursive CTEs cannot aggregate per iteration). Formula matches
+    the reference (scrape_web.py:939-978): contribution damping * prev[src]
+    * w / out_degree_count(src); teleport (1-d)/n; dangling mass lost."""
+    d = PAGERANK_DAMPING
+    head = """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS ni FROM documents),
+edges_raw AS (
+  SELECT doc_id AS src, (doc_id*31+7) % (SELECT ni FROM nn) AS dst,
+         1.0 + (doc_id % 5)/10.0 AS w FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT ni FROM nn),
+         0.7 + (doc_id % 3)/10.0 FROM documents
+),
+edges AS (SELECT * FROM edges_raw WHERE src <> dst),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+enorm AS (SELECT e.src, e.dst, e.w / o.od AS wn FROM edges e JOIN outdeg o USING (src)),
+r0 AS (SELECT doc_id AS id, 1.0/(SELECT n FROM nn) AS r FROM documents)"""
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{i-1}"
+        iters.append(
+            f""",
+r{i} AS (
+  SELECT d.doc_id AS id,
+         (1-{d})/(SELECT n FROM nn)
+         + {d} * coalesce(sum(p.r * e.wn), 0) AS r
+  FROM documents d
+  LEFT JOIN enorm e ON e.dst = d.doc_id
+  LEFT JOIN {prev} p ON p.id = e.src
+  GROUP BY d.doc_id
+)"""
+        )
+    return (
+        head
+        + "".join(iters)
+        + f"\nSELECT id AS doc_id, round(r, 8) AS rank FROM r{PAGERANK_ITERS}"
+    )
+
+
 def driver_oracle_sql() -> dict[str, str]:
     stop = _sql_stoplist()
     qterms = {}
@@ -248,7 +395,7 @@ def driver_oracle_sql() -> dict[str, str]:
     pred_case = " ".join(
         f"WHEN hits_{l} = m THEN '{l}'" for l in langs
     )
-    return {
+    sqls = {
         "postings": f"WITH {_base_ctes()} SELECT doc_id, term, tf FROM postings",
         "doc_stats": f"WITH {_base_ctes()} SELECT doc_id, doc_len FROM doclen",
         "term_stats": f"WITH {_stats_ctes()} SELECT term, df, round(idf, 8) AS idf FROM idf",
@@ -393,6 +540,19 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TO
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2""",
+        "pagerank": _pagerank_sql(),
+        "degree_topk": """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM documents),
+edges_raw AS (
+  SELECT doc_id AS src, (doc_id*31+7) % (SELECT ni FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT ni FROM nn) FROM documents
+),
+edges AS (SELECT * FROM edges_raw WHERE src <> dst)
+SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_degree
+FROM edges GROUP BY dst ORDER BY in_degree DESC, doc_id ASC LIMIT 5""",
+        "distinct_terms_per_source": f"""WITH {_base_ctes()}
+SELECT d.source, CAST(count(DISTINCT p.term) AS BIGINT) AS n_distinct
+FROM postings p JOIN documents d USING (doc_id) GROUP BY d.source""",
         "sessionize": """WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -411,3 +571,6 @@ SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, session_id""",
     }
+    # the WAND-pruned compressed-index path must equal the plain BM25 oracle
+    sqls["bm25_topk_wand"] = sqls["bm25_topk"]
+    return sqls
