@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): codec round-trips and BM25 parity on
+adversarial generated corpora (empty docs, all-stopword docs, duplicate
+query tokens, Zipf-ish repetition, unicode punctuation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.config import load_stopwords
+from search_engine_spark.index.codec import (
+    decode_block,
+    encode_blocks_for_term,
+    varbyte_decode,
+    varbyte_encode,
+)
+from search_engine_spark.operators.corpus_stats import build_bm25_index
+from search_engine_spark.operators.scoring import search_topk
+from search_engine_spark.oracle.pyref import (
+    build_oracle_index,
+    indel_ratio,
+    oracle_search,
+    oracle_tokenize_index,
+)
+
+# ------------------------------------------------------------------ codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=50, deadline=None)
+def test_block_roundtrip(doc_set, block_size):
+    docs = np.array(sorted(doc_set), dtype=np.int64)
+    rng = np.random.RandomState(0)
+    tfs = rng.randint(1, 1000, size=len(docs)).astype(np.int64)
+    scores = rng.rand(len(docs))
+    blocks = encode_blocks_for_term(docs, tfs, scores, block_size)
+    rd, rt = [], []
+    for (bi, fd, ld, n, dd, tv, mx) in blocks:
+        d, t = decode_block(fd, n, dd, tv)
+        assert d[0] == fd and d[-1] == ld and len(d) == n
+        rd.append(d)
+        rt.append(t)
+    assert np.array_equal(np.concatenate(rd), docs)
+    assert np.array_equal(np.concatenate(rt), tfs)
+
+
+# ------------------------------------------------------------- indel ratio
+
+
+@given(st.text(max_size=30), st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_indel_symmetry_and_bounds(a, b):
+    r = indel_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == pytest.approx(indel_ratio(b, a))
+    if a == b:
+        assert r == 100.0
+
+
+# ----------------------------------------------- BM25 parity on random corpora
+
+WORDS = [f"t{i}" for i in range(30)] + ["the", "and", "of", "a"]  # incl. stopwords
+
+
+@st.composite
+def corpus_and_query(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=12))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=40))
+        toks = draw(
+            st.lists(st.sampled_from(WORDS), min_size=n_tok, max_size=n_tok)
+        )
+        docs.append((f"doc{i:03d}", " ".join(toks)))
+    q_len = draw(st.integers(min_value=1, max_value=6))
+    query = " ".join(draw(st.lists(st.sampled_from(WORDS), min_size=q_len, max_size=q_len)))
+    return docs, query
+
+
+@given(corpus_and_query())
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bm25_matches_oracle_on_random_corpus(spark, case):
+    docs, query = case
+    docs = [(u, t) for u, t in docs if t.strip()]
+    if not docs:
+        return
+    stop = load_stopwords()
+    if all(len(oracle_tokenize_index(t, stop)) == 0 for _, t in docs):
+        return  # no vocabulary at all: reference crashes on len(idf)==0 too
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    idx = build_bm25_index(sdf, doc_col="doc_id", text_col="text")
+    oidx = build_oracle_index(docs, stop)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_topk(idx, query.split()).orderBy("rank").collect()
+    ]
+    want = oracle_search(oidx, query, use_fuzzy=False)
+    assert [u for u, _ in got] == [u for u, _ in want], (docs, query)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
