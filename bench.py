@@ -56,7 +56,7 @@ def main() -> None:
     idx = timed("index_build", build)
     docs_per_sec = round(n_docs / timings["index_build"], 2)
 
-    # 2. BM25 query latency over a query mix (warm index)
+    # 2. BM25 query latency over a query mix (warm logical index)
     bench_queries = [
         "spark table join window",
         "key value hash merge",
@@ -71,6 +71,29 @@ def main() -> None:
         lat.append(time.time() - t0)
         timings[f"q{i+1}_bm25"] = round(lat[-1], 4)
     p50 = round(statistics.median(lat), 4)
+
+    # 2b. materialized compressed index: build + query (plain and WAND)
+    import hashlib
+    import shutil
+
+    from search_engine_spark.index.build import build_compressed_index
+    from search_engine_spark.index.query import CompressedIndex
+
+    cpath = f"/tmp/bench_cidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(cpath, ignore_errors=True)
+    timed("compressed_build", lambda: build_compressed_index(docs, cpath))
+    ci = CompressedIndex(spark, cpath)
+    clat, wlat = [], []
+    for q in bench_queries:
+        toks = query_tokens_py(q)
+        t0 = time.time()
+        ci.search_topk(toks, top_k=10).collect()
+        clat.append(time.time() - t0)
+        t0 = time.time()
+        ci.search_topk(toks, top_k=10, use_wand=True).collect()
+        wlat.append(time.time() - t0)
+    timings["cindex_query_p50"] = round(statistics.median(clat), 4)
+    timings["cindex_wand_p50"] = round(statistics.median(wlat), 4)
 
     timed("dedup_minhash_lsh", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
     timed("dedup_simhash", lambda: simhash(docs).count())
