@@ -24,9 +24,23 @@ STOPWORDS_PATH = os.path.join(_DATA_DIR, "stopwords.txt")
 
 @lru_cache(maxsize=None)
 def load_stopwords(path: str = STOPWORDS_PATH) -> frozenset[str]:
-    """Stopword set, lowercased/stripped like reference build_text_index.py:102-104."""
-    with open(path, "r", encoding="utf-8") as f:
-        return frozenset(w.strip().lower() for w in f)
+    """Stopword set, lowercased/stripped like reference build_text_index.py:102-104.
+
+    Falls back to importlib.resources so the package works from a
+    --py-files zip (plain open() cannot read inside a zipimport path).
+    """
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            return frozenset(w.strip().lower() for w in f)
+    except (OSError, NotADirectoryError):
+        from importlib import resources
+
+        text = (
+            resources.files("search_engine_spark")
+            .joinpath("data/stopwords.txt")
+            .read_text(encoding="utf-8")
+        )
+        return frozenset(w.strip().lower() for w in text.splitlines())
 
 
 @dataclass(frozen=True)
