@@ -90,6 +90,92 @@ def _result_schema(index: BM25Index):
     )
 
 
+def batch_search_topk(
+    index: BM25Index,
+    queries: list[tuple[int, list[str]]],
+    top_k: int | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): top-k for MANY queries in one plan.
+
+    The batch shape is where the engine beats a serving loop: one broadcast
+    of the (query_id, term, qtf) relation against postings, one hash
+    aggregation keyed (query_id, doc_id), one rank window per query — k
+    results per query regardless of batch size, entirely as DataFrame ops
+    (no driver-side merging, unlike the single-query latency path).
+
+    Dense semantics (J1-note) are preserved per query: queries with fewer
+    than k positive-score matches are padded with the smallest unmatched
+    doc_ids at score 0 via a per-deficient-query anti-join — never a full
+    queries x docs cross join.
+    """
+    from pyspark.sql.window import Window
+
+    cfg = index.cfg
+    k = top_k if top_k is not None else cfg.top_k
+    ms = min_score if min_score is not None else cfg.min_score
+    spark = index.postings.sparkSession
+
+    qrows = []
+    for qid, tokens in queries:
+        for t, c in sorted(Counter(tokens).items()):
+            qrows.append((qid, t, int(c)))
+    if not qrows:
+        empty = spark.createDataFrame([], "query_id long, rank int, doc_id string, score double")
+        return empty
+    qt = spark.createDataFrame(qrows, "query_id long, term string, qtf int")
+
+    contrib = (
+        index.postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(index.term_stats.select("term", "idf")), "term")
+        .join(index.doc_stats, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "doc_weight",
+            (
+                F.col("qtf") * F.col("idf") * (F.col("tf") * (cfg.k1 + 1))
+                / (F.col("tf") + cfg.k1 * (1 - cfg.b + cfg.b * F.col("doc_len") / F.lit(index.avgdl)))
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        (F.sum("part") * F.first("doc_weight")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+    # per-query positive counts -> deficient queries need zero-padding
+    pos = (
+        topk.filter(F.col("score") > 0)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("npos"))
+    )
+    all_q = qt.select("query_id").distinct()
+    deficient = (
+        all_q.join(pos, "query_id", "left")
+        .select("query_id", F.coalesce("npos", F.lit(0)).alias("npos"))
+        .filter(F.col("npos") < k)
+    )
+    pad = (
+        F.broadcast(deficient)
+        .crossJoin(index.doc_stats.select("doc_id"))
+        .join(scored.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("doc_id").asc()))
+        )
+        .filter(F.col("rn") <= k - F.col("npos"))
+        .select("query_id", "doc_id", F.lit(0.0).alias("score"))
+    )
+    merged = topk.select("query_id", "doc_id", "score").unionByName(pad)
+    final = (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("score") > F.lit(ms)))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    return final
+
+
 def search_topk(
     index: BM25Index,
     tokens: list[str],

@@ -253,6 +253,23 @@ def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize_docs(_docs(spark, sf_dir).limit(50), num_sentences=2)
 
 
+BATCH_QUERIES = [
+    (1, "spark table join window the"),
+    (2, "key value hash merge"),
+    (3, "zzqqxx totally oov"),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k: many queries in ONE plan (broadcast + window per qid)."""
+    from search_engine_spark.operators.scoring import batch_search_topk
+
+    idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    qs = [(qid, query_tokens_py(q)) for qid, q in BATCH_QUERIES]
+    res = batch_search_topk(idx, qs, top_k=BM25_TOPK)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: KMeans cluster size distribution (rows-only; ML pipeline)."""
     from search_engine_spark.operators.clustering import cluster_documents, cluster_sizes
@@ -283,6 +300,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degree_topk": q_degree_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_batch": q_bm25_batch,
         "distinct_terms_per_source": q_distinct_terms_per_source,
         "fuzzy_matches": q_fuzzy_matches,
         "summarize": q_summarize,
@@ -573,4 +591,39 @@ FROM sess GROUP BY user_id, session_id""",
     }
     # the WAND-pruned compressed-index path must equal the plain BM25 oracle
     sqls["bm25_topk_wand"] = sqls["bm25_topk"]
+
+    bq_rows = []
+    for qid, q in BATCH_QUERIES:
+        counts: dict[str, int] = {}
+        for t in query_tokens_py(q):
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in sorted(counts.items()):
+            bq_rows.append(f"({qid}, '{t}', {c})")
+    sqls["bm25_topk_batch"] = f"""WITH {_stats_ctes()},
+qterms(query_id, term, qtf) AS (VALUES {", ".join(bq_rows)}),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         sum(q.qtf * i.idf * p.tf * ({CFG.k1} + 1)
+             / (p.tf + {CFG.k1} * (1 - {CFG.b} + {CFG.b} * d.doc_len / c.avgdl))) AS s
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+qids AS (SELECT DISTINCT query_id FROM qterms),
+dense AS (
+  SELECT qi.query_id, d.doc_id, coalesce(ct.s, 0.0) AS score
+  FROM qids qi CROSS JOIN doclen d
+  LEFT JOIN contrib ct ON ct.query_id = qi.query_id AND ct.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM dense
+)
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank <= {BM25_TOPK} AND score > {CFG.min_score}"""
     return sqls

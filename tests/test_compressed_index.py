@@ -100,6 +100,39 @@ def test_resume_rebuilds_missing_stage(spark, tiny_pages, index_path):
     assert os.path.getmtime(os.path.join(index_path, "doc_dim", "_SUCCESS")) == doc_dim_mtime
 
 
+def test_resume_after_interrupt_equals_fresh_build(spark, tiny_pages, index_path, tmp_path):
+    """Kill-and-resume equivalence (SURVEY §5.3.4): wipe the artifacts of
+    the stages 'in flight' at the simulated crash, resume, and require the
+    resumed index to answer queries identically to the uninterrupted one."""
+    import shutil
+
+    from search_engine_spark.functions.tokenize import query_tokens_py
+
+    path2 = str(tmp_path / "interrupted")
+    build_compressed_index(tiny_pages, path2, CFG, doc_col="url", text_col="text")
+    # simulate a crash mid-way: postings + term_stats never committed
+    mf = os.path.join(path2, "_MANIFEST.json")
+    with open(mf) as f:
+        m = json.load(f)
+    for stage in ("postings", "term_stats"):
+        m["stages"][stage]["complete"] = False
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(path2, "postings"))
+    shutil.rmtree(os.path.join(path2, "term_stats"))
+
+    m2 = build_compressed_index(tiny_pages, path2, CFG, doc_col="url", text_col="text")
+    assert all(m2["stages"][s]["complete"] for s in ("doc_dim", "term_stats", "corpus", "postings"))
+
+    a = CompressedIndex(spark, index_path, CFG)
+    b = CompressedIndex(spark, path2, CFG)
+    for q in ["w0000 w0001", "xylophonium", "ubiquitone"]:
+        toks = query_tokens_py(q)
+        ra = [(r["doc_id"], r["score"]) for r in a.search_topk(toks).orderBy("rank").collect()]
+        rb = [(r["doc_id"], r["score"]) for r in b.search_topk(toks).orderBy("rank").collect()]
+        assert ra == rb, q
+
+
 def test_input_change_invalidates_manifest(spark, tiny_pages, tmp_path):
     path = str(tmp_path / "cidx2")
     sub = tiny_pages.limit(40)

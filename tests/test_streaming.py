@@ -61,6 +61,33 @@ def test_batch_replay_is_idempotent(spark, tiny_pages, tmp_path):
     assert idxer._state()["n_docs"] == n1
 
 
+def test_streaming_sessionize_smoke(spark, tmp_path):
+    """applyInPandasWithState wiring: ingest one micro-batch; sessions stay
+    open (no timeout has fired), so append mode emits nothing — but the
+    stateful operator must run cleanly end-to-end."""
+    from search_engine_spark.streaming.ingest import streaming_sessionize
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:05:00", 7), (3, "2024-01-01 10:01:00", 8)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src)
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_out").collect()
+    assert rows == []  # sessions still open after one batch
+
+
 def test_streaming_window_matches_batch(spark, tmp_path):
     """availableNow file stream through the watermarked window agg ==
     batch date_trunc aggregation (closed windows, counts + avg)."""
