@@ -95,6 +95,16 @@ def main() -> None:
     timings["cindex_query_p50"] = round(statistics.median(clat), 4)
     timings["cindex_wand_p50"] = round(statistics.median(wlat), 4)
 
+    # 2c. batch mode: all queries in ONE plan (throughput-oriented path)
+    from search_engine_spark.operators.scoring import batch_search_topk
+
+    qs = [(i, query_tokens_py(q)) for i, q in enumerate(bench_queries)]
+    t0 = time.time()
+    batch_search_topk(idx, qs, top_k=10).collect()
+    batch_wall = time.time() - t0
+    timings["batch5_total"] = round(batch_wall, 4)
+    timings["batch_amortized_per_query"] = round(batch_wall / len(qs), 4)
+
     timed("dedup_minhash_lsh", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
     timed("dedup_simhash", lambda: simhash(docs).count())
     timed("embedding_topk", lambda: cosine_topk(emb, 0, 10).collect())

@@ -129,3 +129,83 @@ def extract_title_py(html: bytes | str | None) -> str:
 @pandas_udf(StringType())
 def extract_title_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_title_py)
+
+
+class _FeatureCounter(HTMLParser):
+    """Structural page features (reference scrape_web.py:790-826 content
+    heuristics): header/code-block/outbound-link counts + text length."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.headers = 0
+        self.code_blocks = 0
+        self.links = 0
+        self.text_len = 0
+
+    def handle_starttag(self, tag, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIPPED:
+            self._skip += 1
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self.headers += 1
+        elif tag in ("code", "pre"):
+            self.code_blocks += 1
+        elif tag == "a" and any(k == "href" for k, _ in attrs):
+            self.links += 1
+
+    def handle_endtag(self, tag) -> None:  # noqa: ANN001
+        if tag in _SKIPPED and self._skip > 0:
+            self._skip -= 1
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip:
+            self.text_len += len(data.strip())
+
+
+def extract_page_features_py(html: bytes | str | None) -> tuple[int, int, int, int]:
+    """(content_length, headers_count, code_blocks, outbound_links)."""
+    if html is None:
+        return (0, 0, 0, 0)
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _FeatureCounter()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return (p.text_len, p.headers, p.code_blocks, p.links)
+
+
+PAGE_FEATURES_SCHEMA = (
+    "content_length int, headers_count int, code_blocks int, outbound_links int"
+)
+
+
+def with_page_features(df, html_col: str = "html"):
+    """df + struct column ``features`` of structural page counts — feeds
+    the A6 document-weight formula straight from raw HTML (no crawler)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("content_length", IntegerType()),
+            StructField("headers_count", IntegerType()),
+            StructField("code_blocks", IntegerType()),
+            StructField("outbound_links", IntegerType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def feats(html: pd.Series) -> pd.DataFrame:
+        rows = [extract_page_features_py(h) for h in html]
+        return pd.DataFrame(
+            rows, columns=["content_length", "headers_count", "code_blocks", "outbound_links"]
+        )
+
+    return df.withColumn("features", feats(F.col(html_col)))

@@ -57,9 +57,16 @@ def doc_vectors(
     vector_size: int = 100,
     window: int = 5,
     min_count: int = 2,
+    num_partitions: int = 1,
 ) -> tuple[DataFrame, object]:
     """(doc_id, features) via distributed Word2Vec (transform == mean of
-    word vectors, matching the reference's averaging)."""
+    word vectors, matching the reference's averaging).
+
+    num_partitions=1 keeps training bit-deterministic under the fixed seed
+    (parallel SGD merges are scheduling-order dependent); raise it for
+    large corpora where reproducibility of the VECTORS (not the cluster
+    semantics) can be relaxed.
+    """
     from pyspark.ml.feature import Word2Vec
 
     w2v = Word2Vec(
@@ -69,7 +76,7 @@ def doc_vectors(
         seed=SEED,
         inputCol="tokens",
         outputCol="features",
-        numPartitions=4,
+        numPartitions=num_partitions,
     )
     model = w2v.fit(tokenized)
     return model.transform(tokenized).select("doc_id", "features"), model

@@ -99,6 +99,46 @@ def test_extract_title_udf(tiny_pages):
         assert r["t"].startswith("Synth page "), r
 
 
+def test_page_features(spark):
+    from search_engine_spark.functions.html_extract import (
+        extract_page_features_py,
+        with_page_features,
+    )
+
+    html = (
+        b"<html><head><title>T</title><script>x()</script></head><body>"
+        b"<h1>a</h1><h2>b</h2><h3>c</h3><pre><code>z</code></pre>"
+        b'<a href="/x">l1</a><a href="/y">l2</a><a>no-href</a><p>body text</p></body></html>'
+    )
+    cl, h, c, l = extract_page_features_py(html)
+    assert h == 3
+    assert c == 2  # pre + code
+    assert l == 2  # only href'd anchors
+    assert cl > 0  # script text excluded
+    df = spark.createDataFrame([(1, html)], "id int, html binary")
+    r = with_page_features(df).select("features.*").collect()[0]
+    assert (r["headers_count"], r["code_blocks"], r["outbound_links"]) == (3, 2, 2)
+
+
+def test_page_features_feed_doc_weight(spark, tiny_pages):
+    """C8 -> A6: weights computed straight from raw HTML features."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.html_extract import with_page_features
+    from search_engine_spark.operators.graph import doc_rank_score_col
+
+    feats = with_page_features(tiny_pages.limit(20))
+    weighted = feats.select(
+        "url",
+        doc_rank_score_col(
+            F.lit(None).cast("double"), F.lit(0.5), F.lit(1.0),
+            F.col("features.content_length"), F.col("features.code_blocks"),
+            F.col("features.outbound_links"),
+        ).alias("w"),
+    ).collect()
+    assert all(0.1 <= r["w"] <= 2.0 for r in weighted)
+
+
 def test_salted_collect_list_equivalence(spark):
     df = spark.createDataFrame(
         [(i % 3, f"v{i:03d}") for i in range(300)], "k int, v string"
