@@ -27,11 +27,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode; also returns per-value byte lengths so a
+    caller can slice the stream into sub-ranges (block encoding encodes a
+    whole partition in ONE call and slices per block)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # number of 7-bit digits per value (>=1), by repeated shift-and-compare
     lengths = np.ones(v.shape, dtype=np.int64)
     thresh = np.uint64(128)
@@ -61,7 +63,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         starts = ends - lengths + 1
         active = active & (pos >= starts)
         first = False
-    return out.tobytes()
+    return out.tobytes(), lengths
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

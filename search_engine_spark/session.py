@@ -51,6 +51,9 @@ def get_spark(
         # shuffle/spill files on tmpfs when available — the sandbox's
         # virtio disk collapses under many concurrent spill writers
         .config("spark.local.dir", _local_dir())
+        # v2 committer: task outputs move to the destination at task commit
+        # instead of a serial driver-side rename pass at job commit
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
