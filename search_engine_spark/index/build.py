@@ -166,7 +166,10 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
     def encode(batches):
         import pyarrow as pa
 
-        tbl = pa.Table.from_batches(list(batches))
+        bl = list(batches)
+        if not bl:
+            return  # Spark invokes mapInArrow funcs on empty partitions too
+        tbl = pa.Table.from_batches(bl)
         n = tbl.num_rows
         if n == 0:
             return

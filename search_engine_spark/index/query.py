@@ -78,6 +78,29 @@ class CompressedIndex:
         self.postings = spark.read.parquet(os.path.join(path, "postings"))
         self.doc_dim = spark.read.parquet(os.path.join(path, "doc_dim"))
         self.term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
+        self._min_doc_weight: float | None = None
+        self._max_idf: float | None = None
+
+    def max_idf(self) -> float:
+        """Largest epsilon-floored idf (cached); <= 0 means no positive
+        scores are possible and the dense zero-pad always fires."""
+        if self._max_idf is None:
+            row = self.term_stats.agg(F.max("idf").alias("m")).collect()[0]
+            self._max_idf = float(row["m"]) if row["m"] is not None else 0.0
+        return self._max_idf
+
+    def min_doc_weight(self) -> float:
+        """Smallest doc weight in the index (computed once, cached).
+
+        WAND pruning is only sound when every per-doc contribution is
+        non-negative; a negative ``doc_weight`` flips partial sums from
+        lower to upper bounds while block maxima stay positive, silently
+        corrupting top-k (reference weights are floored at 0.1,
+        build_text_index.py:176, but ``weight_col`` is caller-supplied)."""
+        if self._min_doc_weight is None:
+            row = self.doc_dim.agg(F.min("doc_weight").alias("m")).collect()[0]
+            self._min_doc_weight = float(row["m"]) if row["m"] is not None else 0.0
+        return self._min_doc_weight
 
     # ---------------------------------------------------------------- decode
 
@@ -164,113 +187,168 @@ class CompressedIndex:
         else:
             scored = self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
 
-        top_rows = [
-            (int(r["doc_int"]), float(r["score"]))
-            for r in scored.orderBy(F.col("score").desc(), F.col("doc_int").asc()).limit(k).collect()
-        ]
-        positives = sum(1 for _, s in top_rows if s > 0.0)
-        if positives < k and self.corpus_size > 0:
-            have = {d for d, _ in top_rows}
-            # zero-pad: smallest doc_ints NOT matched by any query term.
-            # matched doc set = scored; anti-join then TakeOrdered.
-            pad = (
-                self.doc_dim.join(scored.select("doc_int"), "doc_int", "left_anti")
-                .select("doc_int")
-                .orderBy("doc_int")
-                .limit(k - positives)
-                .collect()
-            )
-            top_rows += [(int(r["doc_int"]), 0.0) for r in pad if int(r["doc_int"]) not in have]
-        merged = sorted(top_rows, key=lambda x: (-x[1], x[0]))[:k]
-        winners = [d for d, _ in merged]
-        if not winners:
-            return self.spark.createDataFrame([], schema=schema)
-        win_df = self.spark.createDataFrame([(int(d),) for d in winners], "doc_int long")
-        id_map = {
-            int(r["doc_int"]): r["doc_id"]
-            for r in self.doc_dim.join(F.broadcast(win_df), "doc_int").select("doc_int", "doc_id").collect()
-        }
-        out = [
-            (i + 1, id_map[d], s)
-            for i, (d, s) in enumerate(merged)
-            if s > ms
-        ]
+        # top-k matched (TakeOrdered) joined back to doc_ids IN-PLAN (the
+        # join input is k rows — broadcast); zero-pad candidates are the k
+        # smallest unmatched doc_ints (anti-join + TakeOrdered), which
+        # always cover any pad need < k. When no document can score > 0
+        # (all idfs <= 0, weights >= 0) padding is certain, so both
+        # branches run as ONE fused job; otherwise the pad job is skipped
+        # entirely unless the collected top-k proves it necessary.
+        doc_map = self.doc_dim.select("doc_int", "doc_id")
+        topc = (
+            scored.orderBy(F.col("score").desc(), F.col("doc_int").asc())
+            .limit(k)
+            .join(doc_map, "doc_int")
+            .select("doc_int", "doc_id", "score")
+        )
+        pad_plan = (
+            self.doc_dim.join(scored.select("doc_int"), "doc_int", "left_anti")
+            .select("doc_int", "doc_id", F.lit(0.0).alias("score"))
+            .orderBy(F.col("doc_int").asc())
+            .limit(k)
+        )
+        if self.corpus_size > 0 and self.max_idf() <= 0 and self.min_doc_weight() >= 0:
+            rows = topc.unionByName(pad_plan).collect()
+        else:
+            rows = topc.collect()
+            positives = sum(1 for r in rows if float(r["score"]) > 0.0)
+            if positives < k and self.corpus_size > 0:
+                rows += pad_plan.limit(k - positives).collect()
+        merged = sorted(
+            ((int(r["doc_int"]), r["doc_id"], float(r["score"])) for r in rows),
+            key=lambda x: (-x[2], x[0]),
+        )[:k]
+        out = [(i + 1, d, s) for i, (_, d, s) in enumerate(merged) if s > ms]
         return self.spark.createDataFrame(out, schema=schema)
 
     # ----------------------------------------------------------------- WAND
 
+    # Driver-side state per WAND query is O(|terms|) scalars + O(k) theta
+    # rows + at most FINALIST_CAP finalist ids; ALL block metadata stays
+    # distributed (per-term maxima/best blocks via max_by, survivor
+    # selection as a broadcast-joined filter on the metadata scan).
+    FINALIST_CAP = 200_000
+
     def _wand_scores(self, qtf: dict[str, int], k: int) -> DataFrame:
         """Block-max-pruned sparse scores, result-identical to full decode."""
         terms = sorted(qtf)
+
+        def full():
+            return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
+
+        # WAND precondition: non-negative contributions (lower-bound
+        # algebra). Negative doc weights flip the bounds — fall back.
+        if self.min_doc_weight() < 0:
+            return full()
+
+        qtf_df = self.spark.createDataFrame(
+            [(t, float(c)) for t, c in sorted(qtf.items())], "term string, qmult double"
+        )
         meta = (
             self._blocks_for_terms(terms)
             .select("term", "part_id", "block_id", "max_score")
-            .withColumn("qmult", F.lit(1.0))
+            .join(F.broadcast(qtf_df), "term")
+            .select(
+                "term", "part_id", "block_id",
+                (F.col("max_score") * F.col("qmult")).alias("bmax"),
+            )
+        )
+        # ONE distributed agg -> |terms| rows on the driver: per-term global
+        # max, best block, block count. Never the full metadata.
+        per_term_rows = (
+            meta.groupBy("term")
+            .agg(
+                F.max("bmax").alias("gm"),
+                F.max_by(F.struct("part_id", "block_id"), F.col("bmax")).alias("best"),
+                F.count(F.lit(1)).alias("nblocks"),
+            )
             .collect()
         )
-        if not meta:
-            return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
-        # per-term block maxima scaled by query-term multiplicity
-        per_term: dict[str, list] = {}
-        for r in meta:
-            per_term.setdefault(r["term"], []).append(
-                (float(r["max_score"]) * qtf[r["term"]], int(r["part_id"]), int(r["block_id"]))
-            )
-        global_max = {t: max(m for m, _, _ in v) for t, v in per_term.items()}
-        total_blocks = sum(len(v) for v in per_term.values())
-        # WAND precondition: non-negative contributions. A negative
-        # epsilon-floored IDF (average_idf < 0 corpora) makes partial sums
-        # UPPER bounds instead of lower bounds — pruning would be unsound,
-        # so fall back to the full decode (rare, pathological corpora).
+        if not per_term_rows:
+            return full()
+        global_max = {r["term"]: float(r["gm"]) for r in per_term_rows}
+        total_blocks = sum(int(r["nblocks"]) for r in per_term_rows)
+        # WAND precondition (cont.): a negative epsilon-floored IDF
+        # (average_idf < 0 corpora) also makes partial sums UPPER bounds —
+        # fall back to the full decode (rare, pathological corpora).
         if any(m < 0 for m in global_max.values()):
-            return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
+            return full()
 
         # phase 1: theta from each term's best block (true partial scores)
-        best = {t: max(v) for t, v in per_term.items()}
-        cond = None
-        for t, (_, pid, bid) in best.items():
-            c = (F.col("term") == t) & (F.col("part_id") == pid) & (F.col("block_id") == bid)
-            cond = c if cond is None else (cond | c)
+        best_rows = [
+            (r["term"], int(r["best"]["part_id"]), int(r["best"]["block_id"]))
+            for r in per_term_rows
+        ]
+        best_df = self.spark.createDataFrame(best_rows, "term string, part_id int, block_id int")
         phase1 = self._agg_scores(
-            self._decode_blocks(self._blocks_for_terms(terms).filter(cond), qtf)
+            self._decode_blocks(
+                self._blocks_for_terms(terms).join(
+                    F.broadcast(best_df), ["term", "part_id", "block_id"]
+                ),
+                qtf,
+            )
         )
         theta_rows = phase1.orderBy(F.col("score").desc()).limit(k).collect()
         if len(theta_rows) < k:
             theta = float("-inf")  # not enough candidates to bound — no pruning
         else:
             theta = float(theta_rows[-1]["score"])
+        if theta == float("-inf"):
+            return full()
 
-        # phase 2: survivor blocks (slack clamps at 0: a doc missing term t'
-        # contributes 0, never less)
+        # phase 2: survivor selection as a broadcast-joined FILTER on the
+        # metadata scan (slack clamps at 0: a doc missing term t'
+        # contributes 0, never less). Driver holds only |terms| slacks.
         sum_gm = sum(max(m, 0.0) for m in global_max.values())
-        keep: list[tuple[str, int, int]] = []
-        for t, v in per_term.items():
-            slack = sum_gm - max(global_max[t], 0.0)
-            for m, pid, bid in v:
-                if m + slack >= theta:
-                    keep.append((t, pid, bid))
-        if not keep or len(keep) == total_blocks or theta == float("-inf"):
-            return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
+        slack_df = self.spark.createDataFrame(
+            [(t, sum_gm - max(global_max[t], 0.0)) for t in sorted(global_max)],
+            "term string, slack double",
+        )
+        survives = F.col("bmax") + F.col("slack") >= F.lit(theta)
+        counts = (
+            meta.join(F.broadcast(slack_df), "term")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(survives, 1).otherwise(0)).alias("kept"),
+            )
+            .collect()[0]
+        )
+        kept = int(counts["kept"] or 0)
+        if kept == 0 or kept == total_blocks:
+            return full()
 
-        keep_df = self.spark.createDataFrame(keep, "term string, part_id int, block_id int")
-        surv_blocks = self._blocks_for_terms(terms).join(
-            F.broadcast(keep_df), ["term", "part_id", "block_id"]
+        surv_blocks = (
+            self._blocks_for_terms(terms)
+            .join(F.broadcast(qtf_df), "term")
+            .join(F.broadcast(slack_df), "term")
+            .filter(F.col("max_score") * F.col("qmult") + F.col("slack") >= F.lit(theta))
+            .drop("qmult", "slack")
         )
         partial = self._agg_scores(self._decode_blocks(surv_blocks, qtf)).cache()
 
-        # phase 3: finalists + exact rescore
+        # phase 3: finalists + exact rescore. pruned_max per term is a
+        # second small agg over the (distributed) metadata -> |terms| rows.
         theta_k_rows = partial.orderBy(F.col("score").desc()).limit(k).collect()
         theta_k = float(theta_k_rows[-1]["score"]) if len(theta_k_rows) >= k else float("-inf")
-        kept_set = set(keep)
-        pruned_max = {
-            t: max((m for m, pid, bid in v if (t, pid, bid) not in kept_set), default=0.0)
-            for t, v in per_term.items()
-        }
-        slack_all = sum(max(m, 0.0) for m in pruned_max.values())
+        pruned_rows = (
+            meta.join(F.broadcast(slack_df), "term")
+            .filter(~survives)
+            .groupBy("term")
+            .agg(F.max("bmax").alias("pm"))
+            .collect()
+        )
+        slack_all = sum(max(float(r["pm"]), 0.0) for r in pruned_rows)
         finalists = partial.filter(F.col("score") + F.lit(slack_all) >= F.lit(theta_k))
-        fin_ids = [int(r["doc_int"]) for r in finalists.select("doc_int").collect()]
-        if not fin_ids:
+        n_fin = finalists.count()
+        if n_fin == 0:
             return partial
+        if n_fin > self.FINALIST_CAP:
+            # bounded-driver guarantee: a pathological theta that leaves too
+            # many finalists never funnels them through the driver — the
+            # exact full decode is cheaper than a huge rescue anyway.
+            partial.unpersist()
+            return full()
+        fin_ids = [int(r["doc_int"]) for r in finalists.select("doc_int").collect()]
         fin_arr = np.array(sorted(fin_ids), dtype=np.int64)
         # decode only blocks whose [first_doc, last_doc] range contains a
         # finalist (searchsorted membership test — column-pruned metadata),

@@ -33,7 +33,7 @@ utils/bm250kapi_weighted.py:35-54.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +59,23 @@ class BM25Index:
     avgdl: float
     average_idf: float
     cfg: EngineConfig
+    _max_idf: float | None = field(default=None, repr=False)
+    _min_weight: float | None = field(default=None, repr=False)
+
+    def max_idf(self) -> float:
+        """Largest epsilon-floored idf (cached). When <= 0 no document can
+        score positively, so dense zero-padding (J1-note) ALWAYS fires —
+        the query path uses this bit to fuse pad + top-k into one job."""
+        if self._max_idf is None:
+            row = self.term_stats.agg(F.max("idf").alias("m")).collect()[0]
+            self._max_idf = float(row["m"]) if row["m"] is not None else 0.0
+        return self._max_idf
+
+    def min_doc_weight(self) -> float:
+        if self._min_weight is None:
+            row = self.doc_stats.agg(F.min("doc_weight").alias("m")).collect()[0]
+            self._min_weight = float(row["m"]) if row["m"] is not None else 0.0
+        return self._min_weight
 
     def cache(self) -> "BM25Index":
         self.postings = self.postings.cache()

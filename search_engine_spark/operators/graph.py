@@ -68,6 +68,11 @@ def pagerank(
     edg.count()
     ranks = node_ids.select("id", F.lit(1.0 / n).alias("rank")).cache()
     teleport = (1.0 - damping) / n
+    # tolerance < 0 disables the convergence check entirely: fixed-iteration
+    # runs (e.g. the driver query) then launch ZERO per-iteration jobs — the
+    # whole chain evaluates lazily at the final action, with eager
+    # localCheckpoints every checkpoint_every rounds bounding plan depth.
+    check_convergence = tolerance >= 0
     for it in range(max_iterations):
         contribs = (
             edg.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -79,17 +84,18 @@ def pagerank(
             .select("id", (F.lit(teleport) + F.coalesce("inflow", F.lit(0.0))).alias("rank"))
         )
         if (it + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+            new_ranks = new_ranks.localCheckpoint(eager=not check_convergence)
         new_ranks = new_ranks.cache()
-        diff = (
-            new_ranks.withColumnRenamed("rank", "nr")
-            .join(ranks, "id")
-            .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        if check_convergence:
+            diff = (
+                new_ranks.withColumnRenamed("rank", "nr")
+                .join(ranks, "id")
+                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
         ranks.unpersist()
         ranks = new_ranks
-        if diff is not None and diff < tolerance:
+        if check_convergence and diff is not None and diff < tolerance:
             break
     out = ranks.select("id", F.col("rank").alias("final_rank"))
     node_ids.unpersist()

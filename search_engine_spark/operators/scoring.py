@@ -108,6 +108,15 @@ def batch_search_topk(
     than k positive-score matches are padded with the smallest unmatched
     doc_ids at score 0 via a per-deficient-query anti-join — never a full
     queries x docs cross join.
+
+    Scale shape: every per-query top-k here is TWO-LEVEL — a partial top-k
+    per (query_id, shard) where shard = hash(doc_id) % P, then a final
+    top-k over the <= k*P survivors per query. No reducer ever sees more
+    than ~rows/P rows for one query (a head-term query matching 10^9 docs,
+    or one OOV query padding against 10^12 doc_ids, is spread over P
+    reducers), at the cost of one extra narrow window over k*P rows. The
+    two levels agree exactly: the global k best of a partition-wise union
+    of k-best sets is the global k best.
     """
     from pyspark.sql.window import Window
 
@@ -115,14 +124,27 @@ def batch_search_topk(
     k = top_k if top_k is not None else cfg.top_k
     ms = min_score if min_score is not None else cfg.min_score
     spark = index.postings.sparkSession
+    shards = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
     qrows = []
     for qid, tokens in queries:
         for t, c in sorted(Counter(tokens).items()):
             qrows.append((qid, t, int(c)))
     if not qrows:
-        empty = spark.createDataFrame([], "query_id long, rank int, doc_id string, score double")
-        return empty
+        doc_field = index.doc_stats.schema["doc_id"]
+        from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType(), False),
+                    StructField("rank", IntegerType(), False),
+                    StructField("doc_id", doc_field.dataType, doc_field.nullable),
+                    StructField("score", DoubleType(), False),
+                ]
+            ),
+        )
     qt = spark.createDataFrame(qrows, "query_id long, term string, qtf int")
 
     contrib = (
@@ -142,8 +164,19 @@ def batch_search_topk(
     scored = contrib.groupBy("query_id", "doc_id").agg(
         (F.sum("part") * F.first("doc_weight")).alias("score")
     )
+    shard = F.pmod(F.hash("doc_id"), F.lit(shards))
+    w_local = Window.partitionBy("query_id", "_shard").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    topk = (
+        scored.withColumn("_shard", shard)
+        .withColumn("rn_l", F.row_number().over(w_local))
+        .filter(F.col("rn_l") <= k)  # <= k*P rows per query survive level 1
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("_shard", "rn_l")
+    )
 
     # per-query positive counts -> deficient queries need zero-padding
     pos = (
@@ -157,13 +190,16 @@ def batch_search_topk(
         .select("query_id", F.coalesce("npos", F.lit(0)).alias("npos"))
         .filter(F.col("npos") < k)
     )
+    w_pad_local = Window.partitionBy("query_id", "_shard").orderBy(F.col("doc_id").asc())
+    w_pad = Window.partitionBy("query_id").orderBy(F.col("doc_id").asc())
     pad = (
         F.broadcast(deficient)
         .crossJoin(index.doc_stats.select("doc_id"))
         .join(scored.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("doc_id").asc()))
-        )
+        .withColumn("_shard", shard)
+        .withColumn("rn_l", F.row_number().over(w_pad_local))
+        .filter(F.col("rn_l") <= k)  # pad need is < k, so k per shard suffices
+        .withColumn("rn", F.row_number().over(w_pad))
         .filter(F.col("rn") <= k - F.col("npos"))
         .select("query_id", "doc_id", F.lit(0.0).alias("score"))
     )
@@ -205,21 +241,27 @@ def search_topk(
         return spark.createDataFrame([], schema=schema)
 
     scored = score_query(index, tokens)
-    top_rows = [
-        (r["doc_id"], float(r["score"]))
-        for r in scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k).collect()
-    ]
-    positives = sum(1 for _, s in top_rows if s > 0.0)
-    if positives < k and index.corpus_size > 0:
-        pad_n = k - positives
-        pad_rows = (
-            index.doc_stats.join(scored.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id")
-            .orderBy(F.col("doc_id").asc())
-            .limit(pad_n)
-            .collect()
-        )
-        top_rows += [(r["doc_id"], 0.0) for r in pad_rows]
+    topc = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    pad_plan = (
+        index.doc_stats.join(scored.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(0.0).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)  # k smallest unmatched ids always cover any pad need < k
+    )
+    if index.corpus_size > 0 and index.max_idf() <= 0 and index.min_doc_weight() >= 0:
+        # no document can score > 0 (all floored idfs are <= 0), so the
+        # dense zero-pad ALWAYS fires — run top-k and pad candidates as ONE
+        # fused job (the `scored` subtree is shared via exchange reuse)
+        # instead of collect-then-pad's two sequential jobs.
+        top_rows = [
+            (r["doc_id"], float(r["score"]))
+            for r in topc.select("doc_id", "score").unionByName(pad_plan).collect()
+        ]
+    else:
+        top_rows = [(r["doc_id"], float(r["score"])) for r in topc.collect()]
+        positives = sum(1 for _, s in top_rows if s > 0.0)
+        if positives < k and index.corpus_size > 0:
+            top_rows += [(r["doc_id"], 0.0) for r in pad_plan.limit(k - positives).collect()]
     merged = sorted(top_rows, key=lambda x: (-x[1], x[0]))[:k]
     out = [
         (i + 1, d, s) for i, (d, s) in enumerate(merged) if s > ms
