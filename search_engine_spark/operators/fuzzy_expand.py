@@ -75,6 +75,97 @@ def expand_query_tokens(index: BM25Index, tokens: list[str]) -> list[str]:
     return out
 
 
+def has_common_typo_pattern(original: str, suggestion: str) -> bool:
+    """A8 typo-pattern heuristic, reference-faithful INCLUDING its quirks
+    (service/text_search.py:327-387, re-derived from observed behavior):
+
+    - the "repeated letters" check tests whether the literal regex SOURCE
+      string appears in the word — never true for real words (kept as-is);
+    - the "missing letter" check builds the shared-character subsequences
+      and substring-tests them against the words — vacuously TRUE when the
+      words share no characters (empty string is a substring of anything);
+    - positional transposition and leet-substitution (0->o, 1->l, 5->s,
+      $->s, 4->a, 3->e, 7->t) checks.
+
+    These quirks cannot change any reachable ``get_word_suggestions``
+    outcome (the frequency rule decides first for OOV words — module
+    docstring), but the public predicate matches the reference exactly.
+    """
+    if len(original) < 3:
+        return False
+    original = original.lower()
+    suggestion = suggestion.lower()
+
+    if r"(.)\1{2,}" in original and r"\1\1" in suggestion:
+        return True  # the reference's literal-regex-source quirk
+    shared_o = "".join(c for c in original if c in suggestion)
+    shared_s = "".join(c for c in suggestion if c in original)
+    if shared_o in original and shared_s in suggestion:
+        return True
+
+    for i in range(len(original) - 1):
+        if i < len(suggestion) - 1:
+            op, sp = original[i : i + 2], suggestion[i : i + 2]
+            if op != sp and sorted(op) == sorted(sp):
+                return True
+
+    subs = {"0": "o", "1": "l", "5": "s", "$": "s", "4": "a", "3": "e", "7": "t"}
+    for i, ch in enumerate(original):
+        if i < len(suggestion):
+            if ch in subs and suggestion[i] == subs[ch]:
+                return True
+            if suggestion[i] in subs and ch == subs[suggestion[i]]:
+                return True
+    return False
+
+
+def likely_misspelling_from_stats(
+    original_in_vocab: bool,
+    typo_pattern: bool,
+    original_freq: int,
+    suggestion_freq: int,
+) -> bool:
+    """The pure decision core of ``_is_likely_misspelling``
+    (service/text_search.py:295-326): in-vocab originals are never
+    misspellings; then typo pattern; then the document-frequency rules
+    (suggestion seen while original unseen, or suggestion >10x more
+    frequent)."""
+    if original_in_vocab:
+        return False
+    if typo_pattern:
+        return True
+    if suggestion_freq > 0 and original_freq == 0:
+        return True
+    return suggestion_freq > original_freq * 10
+
+
+def term_dfs(index: BM25Index, words: list[str]) -> dict[str, int]:
+    """Document frequency for a handful of words via ONE broadcast join
+    against term_stats (the reference scans every tokenized doc per word,
+    text_search.py:315-316 — at corpus scale that is two full passes; the
+    stats table lookup is the same number exactly, since postings are
+    distinct per (doc, term))."""
+    if not words:
+        return {}
+    spark = index.postings.sparkSession
+    q = spark.createDataFrame([(w,) for w in sorted(set(words))], "term string")
+    rows = index.term_stats.join(F.broadcast(q), "term").select("term", "df").collect()
+    out = {w: 0 for w in words}
+    out.update({r["term"]: int(r["df"]) for r in rows})
+    return out
+
+
+def is_likely_misspelling(index: BM25Index, original: str, suggestion: str) -> bool:
+    """Reference ``_is_likely_misspelling`` over the stats tables."""
+    dfs = term_dfs(index, [original, suggestion])
+    return likely_misspelling_from_stats(
+        original_in_vocab=dfs.get(original, 0) > 0,
+        typo_pattern=has_common_typo_pattern(original, suggestion),
+        original_freq=dfs.get(original, 0),
+        suggestion_freq=dfs.get(suggestion, 0),
+    )
+
+
 def word_suggestions_df(
     index: BM25Index,
     words: list[str],
@@ -84,8 +175,13 @@ def word_suggestions_df(
     """(word, suggested_word, similarity) for OOV words.
 
     Top-N vocabulary terms by ratio (no pre-filter), then validity:
-    ratio >= 90 OR ratio >= min_similarity (the frequency rule is always
-    true for OOV words — see module docstring).
+    ratio >= 90 OR (ratio >= min_similarity AND likely-misspelling). The
+    misspelling predicate is computed relationally: every candidate's df
+    comes from the term_stats broadcast join already in the plan, and the
+    caller passes OOV words (original_freq = 0), so the frequency rule
+    reduces to suggestion_df > 0 — true for every vocabulary term. The
+    full predicate incl. typo patterns is exposed as
+    ``is_likely_misspelling`` for direct (reference-public-API) use.
     """
     spark = index.postings.sparkSession
     q = spark.createDataFrame([(w,) for w in sorted(set(words))], "word string")

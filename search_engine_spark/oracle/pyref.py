@@ -320,3 +320,87 @@ def doc_rank_score(
     content_score = norm_len * 0.4 + min(code_blocks / 10.0, 1.0) * 0.3 + min(outbound_links / 20.0, 1.0) * 0.3
     combined = fr * 0.4 + ir * 0.2 + w * 0.2 + content_score * 0.2
     return max(combined, 0.1)
+
+
+def oracle_cluster_keywords(
+    texts: dict,
+    labels: dict,
+    vectors: dict,
+    stopwords: frozenset,
+    top_n: int = 5,
+    contrast_cap: int = 1000,
+    urls: dict | None = None,
+) -> dict:
+    """A12 oracle (reference service/document_clustering.py:409-524):
+    per-cluster keyword scores 0.4*path + 0.3*tf-contrast + 0.3*coherence
+    with the cos<0.7 greedy diversity pick.
+
+    texts: doc_id -> raw text; labels: doc_id -> cluster_id;
+    vectors: term -> word-vector (list/ndarray); urls: doc_id -> url
+    (stands in for the reference's file path).
+
+    Deterministic policies (the reference is nondeterministic: unseeded
+    np.random.choice at :448, Counter tie order): contrast sample = first
+    contrast_cap other-cluster doc_ids ascending; count ties -> term asc;
+    greedy score ties -> term asc. Returns {cluster_id: [(term, score)]}.
+    """
+    import numpy as np
+
+    word_re = re.compile(r"\b[a-zA-Z]+\b")
+
+    def terms_of(text: str) -> list[str]:
+        return [w for w in word_re.findall(text.lower()) if len(w) > 2 and w not in stopwords]
+
+    out: dict = {}
+    for cid in sorted(set(labels.values())):
+        cluster_docs = sorted(d for d, c in labels.items() if c == cid)
+        word_freq: dict[str, int] = {}
+        path_terms: set[str] = set()
+        for d in cluster_docs:
+            if urls and d in urls:
+                for t in word_re.findall(str(urls[d]).lower()):
+                    if len(t) > 2 and t not in stopwords:
+                        path_terms.add(t)
+            for w in terms_of(texts[d]):
+                word_freq[w] = word_freq.get(w, 0) + 1
+        other_docs = sorted(d for d, c in labels.items() if c != cid)[:contrast_cap]
+        other_freq: dict[str, int] = {}
+        for d in other_docs:
+            for w in terms_of(texts[d]):
+                other_freq[w] = other_freq.get(w, 0) + 1
+        total = sum(word_freq.values()) or 1
+        total_other = sum(other_freq.values()) or 1
+        ranked = sorted(word_freq.items(), key=lambda x: (-x[1], x[0]))
+        top100 = [(w, c) for w, c in ranked[:100] if w in vectors]
+        wv = {w: np.asarray(vectors[w], dtype=np.float64) for w, _ in top100}
+        scores: dict[str, float] = {}
+        for w, c in ranked[:50]:
+            if w not in vectors:
+                continue
+            tf = c / total
+            other_tf = other_freq.get(w, 0) / total_other
+            distinctiveness = max(0.0, tf - other_tf)
+            path_score = 2.0 if w in path_terms else 0.0
+            v = np.asarray(vectors[w], dtype=np.float64)
+            sims = [
+                float(np.dot(v, ov) / (np.linalg.norm(v) * np.linalg.norm(ov)))
+                for ow, ov in wv.items()
+                if ow != w
+            ]
+            coherence = float(np.mean(sims)) if sims else 0.0
+            scores[w] = 0.4 * path_score + 0.3 * distinctiveness + 0.3 * coherence
+        keywords: list[tuple[str, float]] = []
+        seen: list = []
+        for w, sc in sorted(scores.items(), key=lambda x: (-x[1], x[0])):
+            if len(keywords) >= top_n:
+                break
+            v = np.asarray(vectors[w], dtype=np.float64)
+            diverse = all(
+                float(np.dot(v, sv) / (np.linalg.norm(v) * np.linalg.norm(sv))) <= 0.7
+                for sv in seen
+            )
+            if diverse:
+                keywords.append((w, sc))
+                seen.append(v)
+        out[cid] = keywords
+    return out

@@ -278,6 +278,20 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sizes(labels)
 
 
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 full keyword scorer: path/contrast/coherence + diversity pick
+    (rows-only; Word2Vec coherence has no SQL equivalent — parity is
+    pytest-enforced against oracle_cluster_keywords)."""
+    from search_engine_spark.operators.clustering import (
+        cluster_keywords_full,
+        cluster_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labels, wv = cluster_pipeline(docs, n_clusters=4)
+    return cluster_keywords_full(docs, labels, wv, CFG, top_n=5)
+
+
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": q_postings,
@@ -305,6 +319,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_matches": q_fuzzy_matches,
         "summarize": q_summarize,
         "cluster_sizes": q_cluster_sizes,
+        "cluster_keywords": q_cluster_keywords,
     }
 
 

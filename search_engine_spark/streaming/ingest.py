@@ -31,10 +31,18 @@ from search_engine_spark.operators.corpus_stats import BM25Index, build_postings
 
 
 class IncrementalIndexer:
-    """Append-only incremental index store at ``path``.
+    """Incremental index store at ``path`` with crash-atomic batches.
 
-    Layout: postings/ (parquet, appended per batch), docs/ (doc_id,
-    doc_len, doc_weight), state.json {batches: [...], n_docs, sum_doc_len}.
+    Layout: postings/batch=<id>/ and docs/batch=<id>/ (parquet, one
+    subdirectory per micro-batch, written in OVERWRITE mode), state.json
+    {batches: [...], n_docs, sum_doc_len}.
+
+    Exactly-once is crash-atomic, not just replay-guarded: a batch's files
+    land in a batch-id-named subdirectory BEFORE the batch_id is recorded
+    in state.json. A crash between the write and the record leaves an
+    orphan subdirectory that (a) readers ignore (reads filter to RECORDED
+    batch ids) and (b) the redelivered batch simply overwrites — never
+    appends — so no duplicate postings and no inflated df/n_docs/avgdl.
     """
 
     def __init__(self, spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -66,22 +74,28 @@ class IncrementalIndexer:
         and doc stats, updates corpus scalars. Idempotent per batch_id."""
         st = self._state()
         if batch_id in st["batches"]:
-            return  # exactly-once: batch was already applied
+            return  # exactly-once: batch was already applied AND recorded
         batch_df = batch_df.filter(F.length(F.trim(F.col(text_col))) > 0)
         postings = build_postings_local(batch_df, self.cfg, doc_col, text_col)
-        postings.write.mode("append").parquet(os.path.join(self.path, "postings"))
+        # overwrite into a batch-scoped subdir: a replay after a crash that
+        # happened before the batch was recorded REPLACES the partial files
+        postings.write.mode("overwrite").parquet(
+            os.path.join(self.path, "postings", f"batch={int(batch_id)}")
+        )
         dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         docs = (
             batch_df.select(F.col(doc_col).alias("doc_id"))
             .join(dl, "doc_id", "left")
             .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
         )
-        docs.write.mode("append").parquet(os.path.join(self.path, "docs"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(self.path, "docs", f"batch={int(batch_id)}")
+        )
         agg = docs.agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")).collect()[0]
         st["n_docs"] += int(agg["n"])
         st["sum_doc_len"] += int(agg["s"] or 0)
         st["batches"].append(batch_id)
-        self._save_state(st)
+        self._save_state(st)  # the commit point: only now is the batch visible
 
     def start(self, pages_stream: DataFrame, checkpoint: str | None = None,
               doc_col: str = "url", text_col: str = "text"):
@@ -101,8 +115,19 @@ class IncrementalIndexer:
         """Assemble a queryable BM25Index from the accumulated store —
         equal to a batch build over all pages ingested so far."""
         st = self._state()
-        postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
-        docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+        recorded = [int(b) for b in st["batches"]]
+        # partition-discovered `batch` column; orphan subdirs from a crash
+        # before the state commit are filtered out here
+        postings = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("batch").isin(recorded))
+            .drop("batch")
+        )
+        docs = (
+            self.spark.read.parquet(os.path.join(self.path, "docs"))
+            .filter(F.col("batch").isin(recorded))
+            .drop("batch")
+        )
         doc_stats = docs.select("doc_id", "doc_len", F.lit(1.0).alias("doc_weight"))
         n = st["n_docs"]
         avgdl = (st["sum_doc_len"] / n) if n else 0.0

@@ -97,3 +97,46 @@ def test_search_with_suggestions_matches_oracle(engine, oracle_index, query):
     got_suggs = {w: [s for s, _ in v] for w, v in got["suggestions"].items()}
     want_suggs = {w: [s for s, _ in v] for w, v in want["suggestions"].items()}
     assert got_suggs == want_suggs
+
+
+def test_typo_pattern_reference_quirks():
+    """A8: _has_common_typo_pattern parity incl. the reference's quirks
+    (text_search.py:327-387)."""
+    from search_engine_spark.operators.fuzzy_expand import has_common_typo_pattern
+
+    assert has_common_typo_pattern("panddas", "pandas")  # repeated-letter dup
+    assert has_common_typo_pattern("padnas", "pandas")   # transposed pair
+    assert has_common_typo_pattern("c0de", "code")       # leet substitution
+    assert not has_common_typo_pattern("ab", "abc")      # len < 3 guard
+    # quirk: zero shared characters -> empty subsequences -> vacuous True
+    assert has_common_typo_pattern("xyz", "qwp")
+
+
+def test_likely_misspelling_decision_core():
+    """A8 frequency rules (text_search.py:295-326): in-vocab never; OOV
+    with seen suggestion always; 10x df-ratio branch."""
+    from search_engine_spark.operators.fuzzy_expand import likely_misspelling_from_stats
+
+    assert not likely_misspelling_from_stats(True, True, 50, 5000)   # in vocab
+    assert likely_misspelling_from_stats(False, True, 0, 0)          # typo pattern
+    assert likely_misspelling_from_stats(False, False, 0, 1)         # seen vs unseen
+    assert likely_misspelling_from_stats(False, False, 3, 31)        # >10x
+    assert not likely_misspelling_from_stats(False, False, 3, 30)    # ==10x is not >
+    assert not likely_misspelling_from_stats(False, False, 0, 0)     # both unseen
+
+
+def test_is_likely_misspelling_on_index(spark_index):
+    """Planted low-df typo: the df lookups go through term_stats (one
+    broadcast join), matching the reference's per-doc scans exactly."""
+    from search_engine_spark.operators.fuzzy_expand import (
+        is_likely_misspelling,
+        term_dfs,
+    )
+
+    vocab_term = spark_index.term_stats.orderBy("term").first()["term"]
+    dfs = term_dfs(spark_index, [vocab_term, "zzqqxxnotaword"])
+    assert dfs[vocab_term] > 0 and dfs["zzqqxxnotaword"] == 0
+    # in-vocab original -> never a misspelling (reference :306-308)
+    assert not is_likely_misspelling(spark_index, vocab_term, "anything")
+    # OOV original with an in-vocab suggestion -> always true (freq rule)
+    assert is_likely_misspelling(spark_index, "zzqqxxnotaword", vocab_term)

@@ -61,6 +61,55 @@ def test_batch_replay_is_idempotent(spark, tiny_pages, tmp_path):
     assert idxer._state()["n_docs"] == n1
 
 
+def test_crash_between_write_and_record_is_atomic(spark, tiny_pages, tmp_path):
+    """Crash AFTER the parquet write but BEFORE state.json records the
+    batch: the redelivered batch must overwrite (not append), and readers
+    must never see the orphan files — postings stay exactly-once."""
+    store = str(tmp_path / "inc3")
+    idxer = IncrementalIndexer(spark, store)
+    part = tiny_pages.select("url", "text").limit(20)
+
+    # 1. a successfully committed batch 0
+    idxer.process_batch(part, batch_id=0)
+    committed = idxer.to_bm25_index()
+    rows_committed = committed.postings.count()
+    n_committed = committed.corpus_size
+
+    # 2. batch 1 "crashes" after writing files, before recording: simulate
+    #    by running it fully, then rolling the STATE back (files remain)
+    part2 = tiny_pages.select("url", "text").limit(35)
+    idxer.process_batch(part2, batch_id=1)
+    st = idxer._state()
+    st["batches"].remove(1)
+    st["n_docs"] = n_committed
+    st["sum_doc_len"] = committed.avgdl * n_committed if n_committed else 0
+    st["sum_doc_len"] = int(round(st["sum_doc_len"]))
+    idxer._save_state(st)
+
+    # orphan files exist but a reader sees only committed batches
+    mid = idxer.to_bm25_index()
+    assert mid.corpus_size == n_committed
+    assert mid.postings.count() == rows_committed
+
+    # 3. redelivery of batch 1 overwrites the orphan and commits
+    idxer.process_batch(part2, batch_id=1)
+    final = idxer.to_bm25_index()
+    assert final.corpus_size == n_committed + 35
+    # postings are exactly the union of the two batches, no duplicates
+    expected = rows_committed + idxer.spark.read.parquet(
+        f"{store}/postings/batch=1"
+    ).count()
+    assert final.postings.count() == expected
+    per_batch = (
+        spark.read.parquet(f"{store}/postings")
+        .groupBy("doc_id", "term", "batch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert per_batch == 0
+
+
 def test_streaming_sessionize_smoke(spark, tmp_path):
     """applyInPandasWithState wiring: ingest one micro-batch; sessions stay
     open (no timeout has fired), so append mode emits nothing — but the
