@@ -53,24 +53,32 @@ def minhash_signatures(
     cfg: EngineConfig = DEFAULT_CONFIG,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, h, minhash): one row per (doc, hash-function).
 
-    minhash = lexicographic min of md5(term || '#' || h) over the doc's
-    distinct terms — engine-portable (string order == string order).
+    hash_fn='md5' (default): minhash = lexicographic min of
+    md5(term || '#' || h) hex over the doc's distinct terms —
+    engine-portable (the DuckDB oracle computes the very same strings).
+    hash_fn='xxhash64': min of the seeded 64-bit integer hash — the SCALE
+    path (~an order of magnitude cheaper: no hex-string materialization or
+    string comparisons in the min-agg; same statistical guarantees, not
+    cross-engine portable).
     """
     terms = doc_terms(docs, cfg, doc_col, text_col)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
-    hashed = terms.select(
-        "doc_id",
-        seeds,
-        "term",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("term"), F.lit("#"), F.col("h").cast("string")).cast("binary")).alias("hv"),
+    with_seeds = terms.select("doc_id", seeds, "term")
+    if hash_fn == "xxhash64":
+        hv = F.xxhash64("term", "h")
+    elif hash_fn == "md5":
+        hv = F.md5(
+            F.concat(F.col("term"), F.lit("#"), F.col("h").cast("string")).cast("binary")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+    return with_seeds.select("doc_id", "h", hv.alias("hv")).groupBy("doc_id", "h").agg(
+        F.min("hv").alias("minhash")
     )
-    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -81,7 +89,8 @@ def lsh_candidate_pairs(
     band_keys = banded.groupBy("doc_id", "band").agg(
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("h", "minhash"))), lambda s: s["minhash"]
+                F.sort_array(F.collect_list(F.struct("h", "minhash"))),
+                lambda s: s["minhash"].cast("string"),  # works for hex or int64 hashes
             ),
             ",",
         ).alias("band_key")
@@ -134,9 +143,15 @@ def minhash_dup_pairs(
     cfg: EngineConfig = DEFAULT_CONFIG,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
-    sig = minhash_signatures(docs, num_hashes, cfg, doc_col, text_col)
+    """Full MinHash+LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    hash_fn='xxhash64' is the scale path (integer minhashing); candidate
+    sets may differ from md5 (different random permutations) but every
+    returned pair is EXACT-Jaccard verified either way, and identical
+    documents are always found (equal token sets -> equal signatures)."""
+    sig = minhash_signatures(docs, num_hashes, cfg, doc_col, text_col, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
     terms = doc_terms(docs, cfg, doc_col, text_col)
     return jaccard_verify(terms, pairs, threshold)

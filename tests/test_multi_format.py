@@ -1,0 +1,108 @@
+"""S3 multi-format dispatch + env-gating (reference
+document_clustering.py:205-231) and the Iceberg catalog routing logic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.multi_format import (
+    extract_any_py,
+    extract_any_udf,
+    extract_docx_text_py,
+    extract_txt_text_py,
+)
+from search_engine_spark.functions.pdf_extract import _pdf_reader
+
+
+def test_txt_passthrough_decode():
+    assert extract_txt_text_py(b"hello \xf0\x9f\x8c\x8d world") == "hello \U0001f30d world"
+    assert extract_txt_text_py(b"bad \xff byte") == "bad  byte"  # errors ignored
+    assert extract_txt_text_py(None) == ""
+
+
+def test_dispatch_html_and_txt():
+    html = b"<html><body><p>Hi there</p><script>x()</script></body></html>"
+    assert extract_any_py(html, "html") == "Hi there"
+    assert extract_any_py(html, ".htm") == "Hi there"   # suffix dot tolerated
+    assert extract_any_py(b"plain", "txt") == "plain"
+    assert extract_any_py(b"whatever", "exe") == ""     # unsupported -> skipped
+
+
+def test_gated_formats_raise_without_libs():
+    if _pdf_reader() is None:
+        with pytest.raises(NotImplementedError):
+            extract_any_py(b"%PDF-1.4", "pdf")
+    try:
+        import docx  # noqa: F401
+
+        has_docx = True
+    except ImportError:
+        has_docx = False
+    if not has_docx:
+        with pytest.raises(NotImplementedError):
+            extract_docx_text_py(b"PK\x03\x04")
+
+
+def test_dispatch_udf_on_spark(spark):
+    rows = [
+        (1, b"<p>alpha beta</p>", "html"),
+        (2, b"gamma delta", "txt"),
+        (3, b"ignored", "bin"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, fmt string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in df.select(
+            "doc_id", extract_any_udf(F.col("payload"), F.col("fmt")).alias("text")
+        ).collect()
+    }
+    assert got == {1: "alpha beta", 2: "gamma delta", 3: ""}
+
+
+def test_iceberg_routing_logic(spark, monkeypatch, tmp_path):
+    """Lock the write_table/read_table routing: with a (faked) Iceberg
+    catalog present, dotted identifiers route through writeTo/read.table;
+    without one, everything falls back to parquet paths."""
+    import search_engine_spark.index.catalog as cat
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+
+    # no catalog in this sandbox -> parquet fallback actually executes
+    assert not cat.iceberg_available(spark)
+    p = str(tmp_path / "t1")
+    assert cat.write_table(df, p) == "parquet"
+    assert cat.read_table(spark, p).count() == 1
+
+    # fake an available catalog and intercept the writeTo/read.table calls
+    calls = {}
+    monkeypatch.setattr(cat, "iceberg_available", lambda s: True)
+
+    class FakeWriter:
+        def __init__(self, ident):
+            calls["ident"] = ident
+
+        def using(self, fmt):
+            calls["using"] = fmt
+            return self
+
+        def createOrReplace(self):
+            calls["created"] = True
+
+    monkeypatch.setattr(type(df), "writeTo", lambda self, ident: FakeWriter(ident), raising=False)
+    assert cat.write_table(df, "cat.db.postings") == "iceberg"
+    assert calls == {"ident": "cat.db.postings", "using": "iceberg", "created": True}
+
+    reads = {}
+
+    class FakeReader:
+        def table(self, ident):
+            reads["ident"] = ident
+            return df
+
+        def parquet(self, path):
+            raise AssertionError("should have routed to the catalog")
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()), raising=False)
+    assert cat.read_table(spark, "cat.db.postings").count() == 1
+    assert reads["ident"] == "cat.db.postings"
