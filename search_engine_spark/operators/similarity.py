@@ -84,6 +84,66 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def cosine_pairs_lsh_multi(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) near-dup pairs via OR-AMPLIFIED sign-LSH:
+    ``n_tables`` independent hyperplane tables; a pair is a candidate if it
+    collides in ANY table (recall 1-(1-p^k)^L vs the single table's p^k,
+    p = 1 - angle/pi), then exact cosine verifies — no false positives.
+
+    Scale shape: the candidate join runs on SLIM (vec_id, table, bucket)
+    rows — vectors are NOT carried through the L-times-exploded shuffle;
+    the exact verification joins the deduped pair list back to the vectors
+    (two hash joins on vec_id). Bucket key space is n_tables * 2^n_planes,
+    bounding every reduce group.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    bucket_cols = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    slim = base.select(
+        "vec_id", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot_col(F.col("av"), F.col("bv"))
+                / (norm_col(F.col("av")) * norm_col(F.col("bv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -111,6 +111,75 @@ def lang_id(
     )
 
 
+# Character-trigram profiles (ASCII, space-delimited boundaries) for the
+# n-gram language ID. Deliberately small + hardcoded so the SQL oracle can
+# embed the identical lists; a production deployment would swap in learned
+# profiles behind the same interface.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", " an", "ed ",
+           " of", "of ", "ion", "on ", " to", "to ", "er ", " in", "in ",
+           "at ", "is "),
+    "de": ("er ", "en ", "ch ", "der", " de", "ein", "ich", "sch", "die",
+           " di", "und", " un", "ie ", "che", "ung", " ge", "te ", "cht",
+           "den", "ber"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+           "et ", " et", "les", "ait", "que", "ue ", " qu", "re ", " co",
+           "eur", "our"),
+    "es": (" de", "de ", "os ", "la ", " la", "el ", " el", "es ", "ue ",
+           "que", " qu", "ado", "en ", " en", "ar ", "los", " lo", "con",
+           "aci", "ien"),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """All overlapping character 3-grams of the lowered text (array with
+    multiplicity; empty for texts shorter than 3 chars)."""
+    low = F.lower(text)
+    n3 = F.char_length(low) - F.lit(2)
+    return F.when(
+        n3 >= 1,
+        F.transform(F.sequence(F.lit(1), n3), lambda i: F.substring(low, i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_id_ngram(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_hits): character-trigram language ID —
+    the real-n-gram upgrade of ``lang_id`` behind the SAME interface.
+
+    hits(lang) = number of the doc's trigrams (with multiplicity) found in
+    that language's profile; pred = argmax, deterministic tie-break lang
+    asc. Pure Catalyst codegen (transform/filter higher-order functions),
+    no Python, no shuffle — scales linearly with corpus bytes.
+    """
+    tris = char_trigrams(F.col(text_col))
+    base = docs.select(F.col(doc_col).alias("doc_id"), tris.alias("tris"))
+    counts = [
+        F.size(
+            F.filter(
+                F.col("tris"),
+                lambda t: F.array_contains(F.array(*[F.lit(g) for g in grams]), t),
+            )
+        ).alias(f"hits_{lang}")
+        for lang, grams in sorted(LANG_TRIGRAMS.items())
+    ]
+    scored = base.select("doc_id", *counts)
+    langs = sorted(LANG_TRIGRAMS)
+    m = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    expr = None
+    for l in langs:
+        cond = F.col(f"hits_{l}") == m
+        expr = F.when(cond, F.lit(l)) if expr is None else expr.when(cond, F.lit(l))
+    return scored.select(
+        "doc_id",
+        expr.alias("pred_lang"),
+        m.cast("long").alias("lang_hits"),
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

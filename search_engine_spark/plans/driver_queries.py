@@ -38,8 +38,10 @@ from search_engine_spark.operators.scoring import search_topk
 from search_engine_spark.operators.similarity import cosine_topk
 from search_engine_spark.operators.text_quality import (
     LANG_MARKERS,
+    LANG_TRIGRAMS,
     doc_fingerprints,
     lang_id,
+    lang_id_ngram,
     quality_features,
 )
 
@@ -147,6 +149,10 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_ngram(_docs(spark, sf_dir))
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +314,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_quality,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -372,6 +379,35 @@ idf AS (
 
 def _lang_list_sql(words: tuple[str, ...]) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+def _lang_ngram_sql() -> str:
+    """Trigram language ID: identical profiles + argmax/tie policy as the
+    Spark operator (operators/text_quality.lang_id_ngram)."""
+    langs = sorted(LANG_TRIGRAMS)
+    hits_cols = ",\n         ".join(
+        "CAST(len(list_filter(tris, x -> list_contains("
+        + "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in LANG_TRIGRAMS[l]) + "]"
+        + ", x))) AS BIGINT) AS hits_" + l
+        for l in langs
+    )
+    pred_case = " ".join(f"WHEN hits_{l} = m THEN '{l}'" for l in langs)
+    return f"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 3
+              THEN list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3))
+              ELSE CAST([] AS VARCHAR[]) END AS tris
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         {hits_cols}
+  FROM g
+),
+gg AS (SELECT doc_id, {", ".join(f"hits_{l}" for l in langs)},
+              greatest({", ".join(f"hits_{l}" for l in langs)}) AS m FROM h)
+SELECT doc_id, CASE {pred_case} END AS pred_lang, CAST(m AS BIGINT) AS lang_hits FROM gg"""
 
 
 def _pagerank_sql() -> str:
@@ -573,6 +609,7 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TO
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2""",
+        "lang_id_ngram": _lang_ngram_sql(),
         "pagerank": _pagerank_sql(),
         "degree_topk": """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM documents),
 edges_raw AS (

@@ -1,0 +1,102 @@
+"""Embedding similarity: brute-force top-k vs numpy, sign-LSH pairs, and
+the OR-amplified multi-table variant's recall guarantee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_spark.operators.similarity import (
+    cosine_pairs_lsh,
+    cosine_pairs_lsh_multi,
+    cosine_topk,
+)
+
+
+def _make_vectors(n_clusters=6, per_cluster=8, dim=16, noise=0.05, seed=3):
+    """Clustered unit vectors: same-cluster pairs have very high cosine."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + noise * rng.standard_normal(dim)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.createDataFrame(
+        _make_vectors(), "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    return df
+
+
+def _true_pairs(rows, threshold):
+    vecs = {i: np.array(v) for i, v in rows}
+    out = set()
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                c = float(vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+                if round(c, 4) >= threshold:
+                    out.add((i, j))
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    vecs = {i: np.array(v) for i, v in rows}
+    q = vecs[0]
+    scored = sorted(
+        (
+            (-round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 4), i)
+            for i, v in vecs.items()
+            if i != 0
+        ),
+    )[:10]
+    want = [(i, -s) for s, i in scored]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, 0, 10).collect()]
+    assert got == [(i, pytest.approx(s)) for i, s in want]
+
+
+def test_multi_table_recall_dominates_single(spark, emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    truth = _true_pairs(rows, 0.9)
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_lsh(emb, n_planes=8, threshold=0.9).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_lsh_multi(emb, n_tables=6, n_planes=8, threshold=0.9).collect()
+    }
+    # no false positives on either path (exact verification)
+    assert single <= truth and multi <= truth
+    # OR-amplification can only help: every single-table hit that used
+    # table seed 42's planes is found by the multi-table union too when
+    # table 0 shares that seed (seed + t, t=0)
+    assert single <= multi
+    # and with 6 tables the recall must be high on tightly-clustered data
+    assert len(truth) > 0
+    assert len(multi) / len(truth) >= 0.9
+
+
+def test_multi_table_exact_duplicates_always_found(spark):
+    v = (np.ones(8) / np.sqrt(8)).tolist()
+    w = (np.concatenate([np.ones(4), -np.ones(4)]) / np.sqrt(8)).tolist()
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, w)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_pairs_lsh_multi(df, n_tables=2, n_planes=4, threshold=0.99).collect()
+    }
+    # identical vectors share every bucket in every table
+    assert got == {(0, 1): pytest.approx(1.0)}
