@@ -111,19 +111,39 @@ def jaccard_verify(
     """Exact token-set Jaccard for candidate pairs; keeps sim >= threshold.
 
     Only candidate pairs are scored — the |docs|^2 blowup never happens.
+
+    Plan shape: per-doc sorted term ARRAYS (one holistic collect_list per
+    doc, bounded by the doc's own vocabulary) joined to the pair list, then
+    a native ``array_intersect`` per pair — JVM set intersection in
+    whole-stage codegen. This replaces the exploded pairs x terms join +
+    re-aggregation, which shuffled ~|pairs| * avg_doc_vocab rows; here the
+    shuffled row count is |pairs| (plus the docs-sized array relation,
+    broadcast when small), and there is no post-join aggregation at all.
     """
-    sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
-    tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
-    common = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    tsets = terms.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("tset"),
+        F.count(F.lit(1)).alias("sz"),
     )
     out = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        pairs.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_a"), F.col("tset").alias("ta"), F.col("sz").alias("sza")
+            ),
+            "doc_a",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("doc_b"), F.col("tset").alias("tb"), F.col("sz").alias("szb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("common"),
+            "sza",
+            "szb",
+        )
         .select(
             "doc_a",
             "doc_b",
