@@ -64,6 +64,10 @@ def main() -> None:
         "customer query scan the fast",
         "vector slow big small line",
     ]
+    # one untimed warmup query: p50 measures steady-state serving latency,
+    # not first-query JIT/codegen/broadcast warmup (which index_build's
+    # timing already absorbs for the build side)
+    search_topk(idx, query_tokens_py("warmup run only"), top_k=10).collect()
     lat = []
     for i, q in enumerate(bench_queries):
         t0 = time.time()
@@ -105,13 +109,14 @@ def main() -> None:
     timings["batch5_total"] = round(batch_wall, 4)
     timings["batch_amortized_per_query"] = round(batch_wall / len(qs), 4)
 
-    # scale path (int64 xxhash minhashing) is the headline; the md5 path is
-    # kept timed for the DuckDB-oracle-portable variant
+    # headline stays the md5 (oracle-portable) path for round-over-round
+    # comparability; the xxhash64 integer-minhash scale variant is timed
+    # alongside
+    timed("dedup_minhash_lsh", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
     timed(
-        "dedup_minhash_lsh",
+        "dedup_minhash_xxh64",
         lambda: minhash_dup_pairs(docs, threshold=0.5, hash_fn="xxhash64").count(),
     )
-    timed("dedup_minhash_md5", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
     timed("dedup_simhash", lambda: simhash(docs).count())
     timed("embedding_topk", lambda: cosine_topk(emb, 0, 10).collect())
     timed("text_quality", lambda: quality_features(docs).count())

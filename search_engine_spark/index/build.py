@@ -165,6 +165,10 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
 
     def encode(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc  # explicit: pa.compute is a LAZY
+        # submodule — a fresh worker process that never touched it raises
+        # AttributeError on pa.compute.* (observed intermittently under
+        # spark.python.worker reuse=off)
 
         bl = list(batches)
         if not bl:
@@ -174,7 +178,7 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
         if n == 0:
             return
         term_arr = tbl.column("term").combine_chunks()
-        codes = pa.compute.dictionary_encode(term_arr).indices.to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(term_arr).indices.to_numpy(zero_copy_only=False)
         docs = tbl.column("doc_int").to_numpy(zero_copy_only=False).astype(np.int64)
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         dls = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -220,7 +224,7 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
         dmv, tmv, lmv = memoryview(d_bytes), memoryview(t_bytes), memoryview(l_bytes)
         wmv = memoryview(w_raw)
         val_cum = np.concatenate([[0], np.cumsum(counts)])
-        terms_at_starts = pa.compute.take(term_arr, pa.array(starts)).to_pylist()
+        terms_at_starts = pc.take(term_arr, pa.array(starts)).to_pylist()
         out = pa.record_batch(
             [
                 pa.array(terms_at_starts, type=pa.string()),

@@ -66,6 +66,14 @@ def minhash_signatures(
     cross-engine portable).
     """
     terms = doc_terms(docs, cfg, doc_col, text_col)
+    return minhash_signatures_from_terms(terms, num_hashes, hash_fn)
+
+
+def minhash_signatures_from_terms(
+    terms: DataFrame, num_hashes: int = 8, hash_fn: str = "md5"
+) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, term) relation (reusable when
+    the term sets are also needed downstream, e.g. Jaccard verification)."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
     with_seeds = terms.select("doc_id", seeds, "term")
     if hash_fn == "xxhash64":
@@ -170,10 +178,18 @@ def minhash_dup_pairs(
     hash_fn='xxhash64' is the scale path (integer minhashing); candidate
     sets may differ from md5 (different random permutations) but every
     returned pair is EXACT-Jaccard verified either way, and identical
-    documents are always found (equal token sets -> equal signatures)."""
-    sig = minhash_signatures(docs, num_hashes, cfg, doc_col, text_col, hash_fn)
+    documents are always found (equal token sets -> equal signatures).
+
+    The (doc_id, term) relation feeds three subtrees (signatures + both
+    sides of the verify join); it is persisted so tokenization runs once
+    per pipeline, not three times. The cache lives until the session drops
+    it (LRU) — at 100 TB swap the persist for a checkpoint to a staging
+    table."""
+    from pyspark import StorageLevel
+
+    terms = doc_terms(docs, cfg, doc_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
-    terms = doc_terms(docs, cfg, doc_col, text_col)
     return jaccard_verify(terms, pairs, threshold)
 
 

@@ -38,20 +38,29 @@ def ensure_input() -> None:
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 
 
-def run_once(master: str, out: str) -> dict:
+def run_once(master: str, out: str) -> dict | None:
     p = subprocess.run(
         [sys.executable, "tools/scaling_job.py", master, INPUT, out],
         capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        # transient subprocess death (VM-level): report and let the
+        # remaining repeats carry the measurement instead of crashing
+        sys.stderr.write(
+            f"scaling_job failed ({master}, rc={p.returncode}):\n{p.stderr[-2000:]}\n"
+        )
+        return None
+    return json.loads(lines[-1])
 
 
 def run(master: str, out: str) -> dict:
     """Best of REPEATS runs — this sandbox VM has ~±25% wall-clock noise
     from outside the guest; best-of measures the configuration's capability
     rather than the noisiest cohabitant."""
-    results = [run_once(master, out) for _ in range(REPEATS)]
+    results = [r for r in (run_once(master, out) for _ in range(REPEATS)) if r]
+    if not results:
+        raise RuntimeError(f"every scaling_job repeat failed for {master}")
     best = max(results, key=lambda r: r["docs_per_sec"])
     best["all_runs_docs_per_sec"] = [r["docs_per_sec"] for r in results]
     return best
