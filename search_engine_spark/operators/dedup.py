@@ -193,6 +193,65 @@ def minhash_dup_pairs(
     return jaccard_verify(terms, pairs, threshold)
 
 
+def shingle_terms(
+    docs: DataFrame,
+    n: int = 3,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term): DISTINCT word n-gram shingles per document.
+
+    Shingles are built from the ORDERED index-side token stream (len>1,
+    stopwords dropped) — pure Catalyst higher-order functions (sequence ->
+    slice -> concat_ws), no Python. Word order matters: two documents with
+    the same vocabulary but different word order share few shingles, which
+    is exactly what distinguishes n-gram Jaccard from token-set Jaccard.
+    """
+    from search_engine_spark.functions.tokenize import index_tokens_col
+
+    toks = index_tokens_col(F.col(text_col), cfg.stopwords)
+    nsh = F.size(toks) - F.lit(n - 1)
+    shingles = F.when(
+        nsh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nsh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(doc_col).alias("doc_id"), F.explode(shingles).alias("term"))
+
+
+def shingle_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """n-gram (shingle) Jaccard near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    Identical plumbing to minhash_dup_pairs but over word-n-gram shingle
+    sets — the standard web-corpus near-dup detector (order-sensitive,
+    robust to word-frequency coincidences). Shingle space is |V|^n-sparse,
+    so LSH band buckets stay tiny even on vocab-degenerate corpora.
+    """
+    from pyspark import StorageLevel
+
+    terms = shingle_terms(docs, n, cfg, doc_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
+    pairs = lsh_candidate_pairs(sig, rows_per_band)
+    return jaccard_verify(terms, pairs, threshold)
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 32,

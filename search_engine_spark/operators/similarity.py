@@ -84,6 +84,67 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """(vec_id, cosine) approximate top-k via IVF (inverted-file) probing:
+    KMeans coarse quantizer -> per-centroid posting lists -> probe only the
+    ``n_probe`` centroids nearest the query -> exact cosine within probed
+    lists. With n_probe == n_centroids this is exactly ``cosine_topk``
+    (asserted in tests); smaller n_probe trades recall for scanning ~
+    n_probe/n_centroids of the corpus.
+
+    Scale shape: the quantizer fit is pyspark.ml KMeans (distributed);
+    list assignment is one model.transform; the probe step filters the
+    assignment table on a handful of centroid ids (partition-prunable when
+    the lists are written partitioned by centroid), and only the probed
+    fraction is scored. Centroid selection touches the driver with
+    n_centroids scalar vectors — never the data.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("features", array_to_vector(F.col("v")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(base)
+    assigned = model.transform(base).select("vec_id", "v", "list_id")
+
+    centers = np.array([c for c in model.clusterCenters()])
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select("v").first()
+    if qrow is None:
+        return assigned.select("vec_id", F.lit(0.0).alias("cosine")).limit(0)
+    q = np.asarray(qrow["v"], dtype=np.float64)
+    # nearest n_probe centroids by euclidean distance (IVF convention)
+    d2 = ((centers - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[: max(1, min(n_probe, n_centroids))]]
+
+    qn = float(np.linalg.norm(q)) or 1.0
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = (
+        assigned.filter(F.col("list_id").isin(probe))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(
+                dot_col(F.col("v"), qcol) / (norm_col(F.col("v")) * F.lit(qn)),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def cosine_pairs_lsh_multi(
     embeddings: DataFrame,
     n_tables: int = 4,

@@ -111,6 +111,37 @@ def lang_id(
     )
 
 
+# BPE-ish pre-tokenization pattern: contractions, letter runs, digit runs,
+# punctuation runs (each optionally preceded by one space), whitespace runs.
+# The GPT-2 pattern minus its trailing-space lookahead, which RE2 (the
+# DuckDB oracle engine) cannot express; both engines run THIS exact regex.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bytes_per_bpe_token): LLM-style
+    token accounting — whitespace tokens plus a BPE-ish regex
+    pre-tokenization count (the standard proxy for subword token cost when
+    no tokenizer model is loaded). Native regexp_extract_all, codegen'd.
+    """
+    ws = F.size(ws_tokens(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    n_chars = F.length(F.col(text_col))
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(bpe > 0, n_chars.cast("double") / bpe).otherwise(F.lit(0.0)), round_to
+        ).alias("bytes_per_bpe_token"),
+    )
+
+
 # Character-trigram profiles (ASCII, space-delimited boundaries) for the
 # n-gram language ID. Deliberately small + hardcoded so the SQL oracle can
 # embed the identical lists; a production deployment would swap in learned

@@ -143,6 +143,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=32, cfg=CFG)
 
 
+def q_shingle_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-trigram shingle) Jaccard near-dup pairs."""
+    from search_engine_spark.operators.dedup import shingle_dup_pairs
+
+    return shingle_dup_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=8, rows_per_band=2, threshold=0.8, cfg=CFG
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-style token accounting (whitespace + BPE-ish regex counts)."""
+    from search_engine_spark.operators.text_quality import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_docs(spark, sf_dir), CFG)
 
@@ -312,6 +328,8 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash": q_simhash,
+        "shingle_dup_pairs": q_shingle_dup_pairs,
+        "token_counts": q_token_counts,
         "text_quality": q_quality,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -379,6 +397,17 @@ idf AS (
 
 def _lang_list_sql(words: tuple[str, ...]) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+# BPE_SPLIT_PATTERN with the single quote doubled for SQL embedding; the
+# regex body is engine-portable (no lookarounds — see text_quality)
+def _bpe_sql_pattern() -> str:
+    from search_engine_spark.operators.text_quality import BPE_SPLIT_PATTERN
+
+    return BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+_BPE_SQL_PATTERN = _bpe_sql_pattern()
 
 
 def _lang_ngram_sql() -> str:
@@ -610,6 +639,58 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TO
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2""",
         "lang_id_ngram": _lang_ngram_sql(),
+        "shingle_dup_pairs": f"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+                     x -> length(x) > 1 AND NOT list_contains([{stop}], x)) AS toks
+  FROM base
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS term
+  FROM tk WHERE len(toks) >= 3
+),
+seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h),
+sig AS (
+  SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
+  FROM sh p CROSS JOIN seeds s GROUP BY p.doc_id, s.h
+),
+bands AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         string_agg(minhash, ',' ORDER BY h) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS cm
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.doc_a
+  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT cm.doc_a, cm.doc_b,
+       round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) AS jaccard
+FROM common cm
+JOIN sizes sa ON sa.doc_id = cm.doc_a
+JOIN sizes sb ON sb.doc_id = cm.doc_b
+WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.8""",
+        "token_counts": f"""WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       round(CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens ELSE 0.0 END, 6) AS bytes_per_bpe_token
+FROM m""",
         "pagerank": _pagerank_sql(),
         "degree_topk": """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM documents),
 edges_raw AS (

@@ -50,3 +50,66 @@ def test_dup_pairs_find_exact_dups(dup_docs, hash_fn):
 def test_bad_hash_fn_rejected(dup_docs):
     with pytest.raises(ValueError):
         minhash_signatures(dup_docs, hash_fn="sha9000")
+
+
+def test_shingle_terms_order_sensitivity(spark):
+    """Same vocabulary, different word order -> disjoint trigram shingles."""
+    from search_engine_spark.operators.dedup import shingle_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "epsilon delta gamma beta alpha"),  # reversed order
+            (2, "alpha beta gamma delta epsilon"),  # identical to 0
+        ],
+        "doc_id long, text string",
+    )
+    sh = {(r["doc_id"], r["term"]) for r in shingle_terms(df, n=3).collect()}
+    s0 = {t for d, t in sh if d == 0}
+    s1 = {t for d, t in sh if d == 1}
+    s2 = {t for d, t in sh if d == 2}
+    assert s0 == {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon"}
+    assert s0 == s2
+    assert not (s0 & s1)  # order flip shares no trigram
+    # short docs (< n tokens) produce no shingles
+    short = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    assert shingle_terms(short, n=3).count() == 0
+
+
+def test_shingle_dup_pairs_exact_dups(dup_docs):
+    from search_engine_spark.operators.dedup import shingle_dup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_dup_pairs(dup_docs, n=3, threshold=0.5).collect()
+    }
+    import pytest as _pt
+
+    assert pairs[(0, 1)] == _pt.approx(1.0)
+    assert pairs[(3, 4)] == _pt.approx(1.0)
+    # the near-dup pair (0,2) differs by one word -> shares SOME but not
+    # all shingles; whatever is returned must be exact-verified >= 0.5
+    assert all(j >= 0.5 for j in pairs.values())
+    assert not any(5 in p for p in pairs)
+
+
+def test_token_counts_bpe_regex(spark):
+    """BPE-ish counts: contractions split, letter/digit/punct runs, and
+    cross-engine agreement is driver-oracled (token_counts entry)."""
+    from search_engine_spark.operators.text_quality import token_counts
+
+    df = spark.createDataFrame(
+        [
+            (0, "I'll go"),            # I | 'll | _go            -> 3
+            (1, "abc123 x-y"),         # abc | 123 | _x | - | y   -> 5
+            (2, ""),                   # empty                     -> 0
+            (3, "one two  three"),     # one | _two | ws-run | three -> 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    assert got[0] == (2, 3)
+    assert got[1] == (2, 5)
+    assert got[2] == (0, 0)
+    assert got[3] == (3, 4)
+    assert got[0][1] >= got[0][0]  # BPE-ish never coarser than whitespace

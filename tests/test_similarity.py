@@ -100,3 +100,23 @@ def test_multi_table_exact_duplicates_always_found(spark):
     }
     # identical vectors share every bucket in every table
     assert got == {(0, 1): pytest.approx(1.0)}
+
+
+def test_ivf_topk_recall_and_exactness(spark, emb):
+    from search_engine_spark.operators.similarity import ivf_topk
+
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, 0, 10).collect()]
+    # full probing degenerates to exact brute force
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, 0, 10, n_centroids=6, n_probe=6).collect()
+    ]
+    assert full == exact
+    # partial probing: high recall on clustered data (the query's own
+    # cluster is always probed, and same-cluster vectors dominate top-k)
+    part = {r["vec_id"] for r in ivf_topk(emb, 0, 10, n_centroids=6, n_probe=2).collect()}
+    assert len(part) == 10
+    recall = len(part & {i for i, _ in exact}) / 10
+    assert recall >= 0.7
+    # missing query id -> empty result, stable schema
+    assert ivf_topk(emb, 99999, 10).count() == 0
