@@ -163,12 +163,14 @@ def streaming_hourly_event_stats(events_stream: DataFrame, watermark: str = "2 h
     )
 
 
-def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30):
+def streaming_sessionize(events_stream: DataFrame, gap_minutes: float = 30):
     """Custom stateful operator: per-user gap sessions via
-    applyInPandasWithState (emits a row when a session closes by timeout)."""
+    applyInPandasWithState (emits a row when a session closes by timeout).
+    ``gap_minutes`` accepts fractions (integration tests use second-scale
+    gaps to actually fire the ProcessingTimeTimeout path)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = gap_minutes * 60 * 1000
+    gap_ms = int(gap_minutes * 60 * 1000)
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, n_events long"
     )

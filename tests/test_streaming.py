@@ -137,6 +137,56 @@ def test_streaming_sessionize_smoke(spark, tmp_path):
     assert rows == []  # sessions still open after one batch
 
 
+def test_streaming_sessionize_timeout_closes_session(spark, tmp_path):
+    """The ProcessingTimeTimeout path actually fires: ingest user 7's
+    events, wait past the gap, ingest an unrelated user's event — the next
+    micro-batch must emit user 7's CLOSED session with the right bounds."""
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from search_engine_spark.streaming.ingest import streaming_sessionize
+
+    src = str(tmp_path / "sess_to_src")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "event_id long, ts_s string, user_id long").select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+        ).write.mode(mode).parquet(src)
+
+    write([(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:00:30", 7)], "overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sessionize(stream, gap_minutes=0.05)  # 3s gap
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_to")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_sess_to"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        rows = []
+        for i in range(60):
+            _time.sleep(2)
+            rows = spark.sql("select * from sess_to").collect()
+            if rows:
+                break
+            if i == 4:
+                # some Spark versions only evaluate timers when a batch has
+                # data — nudge with an unrelated user's event
+                write([(3, "2024-01-01 11:00:00", 8)], "append")
+        u7 = [r for r in rows if r["user_id"] == 7]
+        assert len(u7) == 1, rows
+        r = u7[0]
+        assert r["n_events"] == 2
+        assert r["session_start"].strftime("%H:%M:%S") == "10:00:00"
+        assert r["session_end"].strftime("%H:%M:%S") == "10:00:30"
+    finally:
+        q.stop()
+
+
 def test_streaming_window_matches_batch(spark, tmp_path):
     """availableNow file stream through the watermarked window agg ==
     batch date_trunc aggregation (closed windows, counts + avg)."""
