@@ -92,7 +92,14 @@ def minhash_signatures_from_terms(
 def lsh_candidate_pairs(
     signatures: DataFrame, rows_per_band: int = 2
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs sharing >=1 LSH band bucket."""
+    """(doc_a, doc_b) candidate near-dup pairs sharing >=1 LSH band bucket.
+
+    band_keys is persisted before the self-join: without it BOTH join sides
+    recompute the full tokenize->signature->band subtree (verified in the
+    physical plan — ReuseExchange does not fire across the join's build and
+    stream sides)."""
+    from pyspark import StorageLevel
+
     banded = signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
     band_keys = banded.groupBy("doc_id", "band").agg(
         F.array_join(
@@ -102,7 +109,7 @@ def lsh_candidate_pairs(
             ),
             ",",
         ).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (
@@ -182,12 +189,20 @@ def minhash_dup_pairs(
 
     The (doc_id, term) relation feeds three subtrees (signatures + both
     sides of the verify join); it is persisted so tokenization runs once
-    per pipeline, not three times. The cache lives until the session drops
-    it (LRU) — at 100 TB swap the persist for a checkpoint to a staging
-    table."""
+    per pipeline, not three times, and REPARTITIONED BY doc_id first: a
+    hash(doc_id) partitioning satisfies the clustering requirement of
+    every downstream aggregation — groupBy(doc_id, h) signatures,
+    groupBy(doc_id, band) band keys, groupBy(doc_id) term sets — so none
+    of them inserts another posting-scale exchange (3 shuffles -> 1). The
+    cache lives until the session drops it (LRU) — at 100 TB swap the
+    persist for a checkpoint to a staging table."""
     from pyspark import StorageLevel
 
-    terms = doc_terms(docs, cfg, doc_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    terms = (
+        doc_terms(docs, cfg, doc_col, text_col)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
     return jaccard_verify(terms, pairs, threshold)
@@ -244,8 +259,10 @@ def shingle_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    terms = shingle_terms(docs, n, cfg, doc_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    terms = (
+        shingle_terms(docs, n, cfg, doc_col, text_col)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
