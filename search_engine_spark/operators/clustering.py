@@ -41,12 +41,17 @@ def cluster_preprocess_col(c: Column) -> Column:
     normalize, which split() subsumes): strip semantic-noise patterns
     (x.y.z version numbers, ISO dates, '3 days/months/years' periods),
     break underscores/hyphens into spaces, drop remaining punctuation,
-    lowercase."""
-    c = F.regexp_replace(c, r"\d+\.\d+\.\d+", " ")
-    c = F.regexp_replace(c, r"\b\d{4}-\d{2}-\d{2}\b", " ")
-    c = F.regexp_replace(c, r"\b\d+\s*(?:days?|months?|years?)\b", " ")
+    lowercase.
+
+    Patterns carry ``(?U)`` (UNICODE_CHARACTER_CLASS) so Java ``\\w``/
+    ``\\d``/``\\b`` match Python's Unicode semantics — without it
+    'café naïve' tokenizes to ['caf','na','ve'] in Spark while the
+    reference (Python re) keeps the accented letters."""
+    c = F.regexp_replace(c, r"(?U)\d+\.\d+\.\d+", " ")
+    c = F.regexp_replace(c, r"(?U)\b\d{4}-\d{2}-\d{2}\b", " ")
+    c = F.regexp_replace(c, r"(?U)\b\d+\s*(?:days?|months?|years?)\b", " ")
     c = F.regexp_replace(c, r"[_-]", " ")
-    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"(?U)[^\w\s]", " ")
     return F.lower(c)
 
 
@@ -107,7 +112,7 @@ def doc_token_arrays(
     stop = sorted(cfg.stopwords)
     stop_arr = F.array(*[F.lit(s) for s in stop])
     toks = F.filter(
-        F.split(cluster_preprocess_col(F.col(text_col)), r"\s+"),
+        F.split(cluster_preprocess_col(F.col(text_col)), r"(?U)\s+"),
         lambda t: (t != "") & ~F.array_contains(stop_arr, t),
     )
     return docs.select(F.col(doc_col).alias("doc_id"), toks.alias("tokens")).filter(

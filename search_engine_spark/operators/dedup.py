@@ -28,6 +28,36 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from search_engine_spark.operators.corpus_stats import build_postings
 
+# Cached relations created by the dedup pipelines (band keys, term sets).
+# persist() outlives the returned lazy DataFrame's terminal action — only the
+# MEMORY portion is LRU-evicted; disk-spilled blocks stay until unpersist.
+# Long-lived sessions running many pipelines should call
+# ``unpersist_dedup_caches()`` after consuming each result.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def unpersist_dedup_caches() -> int:
+    """Release every cached relation the dedup pipelines have created in
+    this session (safe to call while results are still lazily pending —
+    Spark just recomputes). Returns the number of relations released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_fingerprints(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp, group_size, canonical_doc_id): md5-of-text exact dedup.
@@ -97,19 +127,20 @@ def lsh_candidate_pairs(
     band_keys is persisted before the self-join: without it BOTH join sides
     recompute the full tokenize->signature->band subtree (verified in the
     physical plan — ReuseExchange does not fire across the join's build and
-    stream sides)."""
-    from pyspark import StorageLevel
-
+    stream sides). The cache is registered in ``_LIVE_CACHES`` — call
+    ``unpersist_dedup_caches()`` after consuming the result."""
     banded = signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-    band_keys = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("h", "minhash"))),
-                lambda s: s["minhash"].cast("string"),  # works for hex or int64 hashes
-            ),
-            ",",
-        ).alias("band_key")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_keys = _persist_tracked(
+        banded.groupBy("doc_id", "band").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),  # works for hex or int64 hashes
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (
@@ -194,15 +225,10 @@ def minhash_dup_pairs(
     every downstream aggregation — groupBy(doc_id, h) signatures,
     groupBy(doc_id, band) band keys, groupBy(doc_id) term sets — so none
     of them inserts another posting-scale exchange (3 shuffles -> 1). The
-    cache lives until the session drops it (LRU) — at 100 TB swap the
-    persist for a checkpoint to a staging table."""
-    from pyspark import StorageLevel
-
-    terms = (
-        doc_terms(docs, cfg, doc_col, text_col)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    caches are tracked — call ``unpersist_dedup_caches()`` after consuming
+    the result — and at 100 TB swap the persist for a staging-table
+    checkpoint."""
+    terms = _persist_tracked(doc_terms(docs, cfg, doc_col, text_col).repartition("doc_id"))
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
     return jaccard_verify(terms, pairs, threshold)
@@ -256,14 +282,9 @@ def shingle_dup_pairs(
     sets — the standard web-corpus near-dup detector (order-sensitive,
     robust to word-frequency coincidences). Shingle space is |V|^n-sparse,
     so LSH band buckets stay tiny even on vocab-degenerate corpora.
+    Caches are tracked — call ``unpersist_dedup_caches()`` after use.
     """
-    from pyspark import StorageLevel
-
-    terms = (
-        shingle_terms(docs, n, cfg, doc_col, text_col)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    terms = _persist_tracked(shingle_terms(docs, n, cfg, doc_col, text_col).repartition("doc_id"))
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
     return jaccard_verify(terms, pairs, threshold)

@@ -175,6 +175,35 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), EMB_QUERY_ID, EMB_TOPK)
 
 
+IVF_QUERY_ID = 1
+IVF_N_CENTROIDS = 8
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the persisted build/probe split (VERDICT r02 #1):
+    ``build_ivf_index`` fits the quantizer ONCE per (process, sf_dir) and
+    writes centroid-partitioned lists; ``ivf_probe_by_id`` answers from a
+    partition-pruned scan. Probed at FULL width (n_probe == n_centroids)
+    the result is exactly brute-force cosine top-k regardless of the
+    KMeans assignment, so the DuckDB oracle is plain cosine SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_by_id,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_driver_index_{key}")
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        build_ivf_index(_emb(spark, sf_dir), path, n_centroids=IVF_N_CENTROIDS, seed=42)
+    return ivf_probe_by_id(
+        spark, path, IVF_QUERY_ID, k=EMB_TOPK, n_probe=IVF_N_CENTROIDS
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_stats(_events(spark, sf_dir))
 
@@ -334,6 +363,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "embedding_topk": q_embedding_topk,
+        "ivf_probe": q_ivf_probe,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "pagerank": q_pagerank,
@@ -631,6 +661,19 @@ scored AS (
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
   FROM embeddings e, q WHERE e.vec_id <> {EMB_QUERY_ID}
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TOPK}""",
+        # full-width probe == exact brute force, so the oracle is the same
+        # cosine SQL as embedding_topk with the ivf query id
+        "ivf_probe": f"""WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> {IVF_QUERY_ID}
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TOPK}""",
         "events_hourly": """SELECT date_trunc('hour', ts) AS ws, event_type,

@@ -116,18 +116,20 @@ class IncrementalIndexer:
         equal to a batch build over all pages ingested so far."""
         st = self._state()
         recorded = [int(b) for b in st["batches"]]
-        # partition-discovered `batch` column; orphan subdirs from a crash
-        # before the state commit are filtered out here
-        postings = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
-            .filter(F.col("batch").isin(recorded))
-            .drop("batch")
-        )
-        docs = (
-            self.spark.read.parquet(os.path.join(self.path, "docs"))
-            .filter(F.col("batch").isin(recorded))
-            .drop("batch")
-        )
+
+        def _read(sub: str) -> DataFrame:
+            # partition-discovered `batch` column; orphan subdirs from a
+            # crash before the state commit are filtered out here. Stores
+            # written by the pre-batch-subdir (flat append) layout have no
+            # batch=* partitions — read them unfiltered (they were
+            # replay-guarded, not crash-atomic, so every row is recorded).
+            df = self.spark.read.parquet(os.path.join(self.path, sub))
+            if "batch" in df.columns:
+                return df.filter(F.col("batch").isin(recorded)).drop("batch")
+            return df
+
+        postings = _read("postings")
+        docs = _read("docs")
         doc_stats = docs.select("doc_id", "doc_len", F.lit(1.0).alias("doc_weight"))
         n = st["n_docs"]
         avgdl = (st["sum_doc_len"] / n) if n else 0.0

@@ -103,12 +103,16 @@ def test_cluster_preprocess_spark_matches_python(spark):
         "versions 1.2.3 10.20.30 dates 1999-12-31 not-a-date 99-12-31",
         "3 months 12 years 1 day mixed 5days",
         "  spaced   out\ttabs\nnewlines  ",
+        # non-ASCII: (?U) in the Java patterns must keep accented letters
+        # and Unicode digits exactly like Python re (ADVICE r02)
+        "café naïve Zürich söñg-title under_scored première!",
+        "unicode digits ١٢٣ date 2024-01-15 and nbsp space",
     ]
     df = spark.createDataFrame([(s,) for s in samples], "t string")
     got = [
         [x for x in r["toks"] if x != ""]
         for r in df.select(
-            F.split(cluster_preprocess_col(F.col("t")), r"\s+").alias("toks")
+            F.split(cluster_preprocess_col(F.col("t")), r"(?U)\s+").alias("toks")
         ).collect()
     ]
     want = [cluster_preprocess_py(s) for s in samples]

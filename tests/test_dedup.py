@@ -52,6 +52,27 @@ def test_bad_hash_fn_rejected(dup_docs):
         minhash_signatures(dup_docs, hash_fn="sha9000")
 
 
+def test_unpersist_dedup_caches(dup_docs):
+    """ADVICE r02: pipeline caches are tracked and releasable — a
+    long-lived session can reclaim the persisted band-key/term relations."""
+    from search_engine_spark.operators.dedup import (
+        _LIVE_CACHES,
+        unpersist_dedup_caches,
+    )
+
+    unpersist_dedup_caches()  # clean slate
+    out = minhash_dup_pairs(dup_docs, threshold=0.5)
+    n_rows = out.count()
+    assert n_rows >= 2
+    assert len(_LIVE_CACHES) >= 2  # terms + band_keys registered
+    assert any(df.storageLevel.useMemory for df in _LIVE_CACHES)
+    released = unpersist_dedup_caches()
+    assert released >= 2
+    assert _LIVE_CACHES == []
+    # result is still recomputable after the release (lazy plans survive)
+    assert out.count() == n_rows
+
+
 def test_shingle_terms_order_sensitivity(spark):
     """Same vocabulary, different word order -> disjoint trigram shingles."""
     from search_engine_spark.operators.dedup import shingle_terms

@@ -50,6 +50,34 @@ def test_incremental_index_equals_batch(spark, tiny_pages, tmp_path):
             assert sa == pytest.approx(sb, abs=1e-9)
 
 
+def test_legacy_flat_layout_still_readable(spark, tiny_pages, tmp_path):
+    """ADVICE r02: stores written by the pre-batch-subdir (flat append)
+    layout have no partition-discovered `batch` column; to_bm25_index must
+    fall back to an unfiltered read instead of failing on the missing
+    column."""
+    import json
+
+    from search_engine_spark.operators.corpus_stats import build_postings_local
+
+    store = str(tmp_path / "legacy")
+    os.makedirs(store)
+    pages = tiny_pages.select("url", "text").limit(10)
+    pages = pages.filter(F.length(F.trim("text")) > 0)
+    postings = build_postings_local(pages, doc_col="url", text_col="text")
+    # legacy layout: flat append, no batch=<id> subdirectories
+    postings.write.mode("append").parquet(os.path.join(store, "postings"))
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dl.write.mode("append").parquet(os.path.join(store, "docs"))
+    agg = dl.agg(F.count(F.lit(1)), F.sum("doc_len")).collect()[0]
+    with open(os.path.join(store, "state.json"), "w") as f:
+        json.dump({"batches": [0], "n_docs": int(agg[0]), "sum_doc_len": int(agg[1])}, f)
+
+    idx = IncrementalIndexer(spark, store).to_bm25_index()
+    assert idx.corpus_size == int(agg[0])
+    assert idx.postings.count() == postings.count()
+    assert "batch" not in idx.postings.columns
+
+
 def test_batch_replay_is_idempotent(spark, tiny_pages, tmp_path):
     """Re-delivering the same batch_id must not double-count (exactly-once)."""
     store = str(tmp_path / "inc2")
