@@ -8,12 +8,15 @@ operation: (payload: binary, fmt: string) -> text. Per-format kernels:
 
 - txt:   utf-8 decode with errors ignored (reference :178-181)
 - html:  the byte-identical HTML extractor (functions/html_extract)
-- pdf:   gated on pypdf/PyPDF2 (functions/pdf_extract)
-- docx:  gated on python-docx (paragraph texts joined with '' — the
-         reference's ``"".join(...)`` quirk, :195-203); neither library
-         ships in this container, so the kernels raise NotImplementedError
-         while the Arrow plumbing stays real and tested via the txt/html
-         paths and the dispatch unit tests.
+- pdf:   gated on pypdf/PyPDF2 (functions/pdf_extract) — never executed
+         here (library absent)
+- docx:  python-docx when available, else a STDLIB kernel (.docx is a zip
+         of XML: ``zipfile`` + ``xml.etree`` over word/document.xml) that
+         reproduces python-docx's paragraph.text semantics — body-level
+         ``w:p`` elements, runs' ``w:t`` text with ``w:tab``/``w:br``/
+         ``w:cr`` as tab/newline — joined with '' (the reference's
+         ``"".join(...)`` quirk, :195-203). Real docx bytes round-trip in
+         tests; no third-party dependency needed.
 
 Unknown formats yield empty text (the reference silently skips unsupported
 suffixes).
@@ -40,21 +43,58 @@ def _docx_document():
         return None
 
 
-def extract_docx_text_py(payload: bytes | None) -> str:
-    document_cls = _docx_document()
-    if document_cls is None:
-        raise NotImplementedError(
-            "DOCX extraction requires python-docx, which is not installed "
-            "in this environment; install it to enable this UDF"
-        )
-    import io
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
+
+def _docx_paragraph_texts_stdlib(payload: bytes) -> list[str]:
+    """Paragraph texts from raw .docx bytes using only the stdlib.
+
+    .docx is a zip archive; the body lives in word/document.xml. Mirrors
+    python-docx's ``Document(f).paragraphs`` / ``Paragraph.text``:
+    body-LEVEL ``w:p`` children only (table-nested paragraphs excluded,
+    as python-docx's doc.paragraphs excludes them), and per paragraph the
+    concatenation of its runs' ``w:t`` text with ``w:tab`` -> '\\t' and
+    ``w:br``/``w:cr`` -> '\\n'.
+    """
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    body = root.find(f"{{{_W_NS}}}body")
+    if body is None:
+        return []
+    out: list[str] = []
+    for p in body.findall(f"{{{_W_NS}}}p"):  # direct children only
+        parts: list[str] = []
+        for el in p.iter():
+            tag = el.tag
+            if tag == f"{{{_W_NS}}}t":
+                parts.append(el.text or "")
+            elif tag == f"{{{_W_NS}}}tab":
+                parts.append("\t")
+            elif tag in (f"{{{_W_NS}}}br", f"{{{_W_NS}}}cr"):
+                parts.append("\n")
+        out.append("".join(parts))
+    return out
+
+
+def extract_docx_text_py(payload: bytes | None) -> str:
+    """DOCX -> text. Prefers python-docx (the reference's dependency);
+    falls back to the stdlib zip+XML kernel when it is not installed.
+    Either way paragraphs are joined with the EMPTY string — the
+    reference's ``"".join(...)`` quirk (document_clustering.py:199)."""
     if not payload:
         return ""
+    document_cls = _docx_document()
     try:
-        doc = document_cls(io.BytesIO(bytes(payload)))
-        # reference quirk: paragraphs joined with the EMPTY string (:199)
-        return "".join(p.text for p in doc.paragraphs)
+        if document_cls is not None:
+            import io
+
+            doc = document_cls(io.BytesIO(bytes(payload)))
+            return "".join(p.text for p in doc.paragraphs)
+        return "".join(_docx_paragraph_texts_stdlib(bytes(payload)))
     except Exception:
         return ""
 

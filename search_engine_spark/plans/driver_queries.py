@@ -288,9 +288,10 @@ def q_distinct_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: fuzzy vocabulary matches for misspelled probes (rows-only: the
-    Indel-ratio UDF has no DuckDB equivalent; parity is pytest-enforced
-    against the pure-Python oracle)."""
+    """A7: fuzzy vocabulary matches for misspelled probes. Fully oracled
+    since round 3: the DuckDB side computes the same Indel ratio
+    (200*LCS/(|a|+|b|)) with a recursive-CTE LCS — see driver_oracle_sql.
+    Pytest additionally locks Indel parity against rapidfuzz semantics."""
     from search_engine_spark.operators.fuzzy_expand import fuzzy_matches_df
 
     idx = build_bm25_index(_docs(spark, sf_dir), CFG, "doc_id", "text")
@@ -767,6 +768,46 @@ FROM sess GROUP BY user_id, session_id""",
     }
     # the WAND-pruned compressed-index path must equal the plain BM25 oracle
     sqls["bm25_topk_wand"] = sqls["bm25_topk"]
+
+    # A7 fuzzy matches: Indel ratio = 200*LCS/(|a|+|b|) via a recursive-CTE
+    # LCS (VERDICT r02 #7). The intra-row DP dependency is removed with the
+    # prefix-max identity LCS(i,j) = max(LCS(i-1,j),
+    # max_{k<=j, b[k]=a[i]} LCS(i-1,k-1)+1), so each recursion step maps
+    # one whole DP row with pure list functions. Probes/threshold/top-3 and
+    # the (sim desc, term asc) tie policy mirror fuzzy_matches_df.
+    probes_vals = ", ".join(f"('{t}')" for t in sorted({"tabel", "windoww", "sparc"}))
+    sqls["fuzzy_matches"] = f"""WITH RECURSIVE {_base_ctes()},
+vocab AS (SELECT DISTINCT term FROM postings WHERE length(term) >= 3),
+probes AS (SELECT * FROM (VALUES {probes_vals}) p(qterm)),
+pairs AS (
+  SELECT p.qterm, v.term FROM probes p CROSS JOIN vocab v WHERE v.term <> p.qterm
+),
+lcs AS (
+  SELECT qterm, term, 0 AS i,
+         list_transform(generate_series(0, length(term)), x -> 0) AS row
+  FROM pairs
+  UNION ALL
+  SELECT qterm, term, i + 1,
+         list_transform(generate_series(1, length(term) + 1), idx ->
+           CASE WHEN idx = 1 THEN 0 ELSE
+             greatest(row[idx],
+               coalesce(list_max(list_transform(generate_series(1, idx - 1), k ->
+                 CASE WHEN substring(lower(term), k, 1) = substring(lower(qterm), i + 1, 1)
+                      THEN row[k] + 1 ELSE 0 END)), 0))
+           END) AS row
+  FROM lcs WHERE i < length(qterm)
+),
+scored AS (
+  SELECT qterm, term,
+         200.0 * row[length(term) + 1] / (length(qterm) + length(term)) AS sim
+  FROM lcs WHERE i = length(qterm)
+),
+ranked AS (
+  SELECT qterm, term, sim,
+         row_number() OVER (PARTITION BY qterm ORDER BY sim DESC, term ASC) AS rn
+  FROM scored WHERE sim >= 80.0
+)
+SELECT qterm, term, sim FROM ranked WHERE rn <= 3"""
 
     bq_rows = []
     for qid, q in BATCH_QUERIES:

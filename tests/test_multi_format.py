@@ -33,15 +33,80 @@ def test_gated_formats_raise_without_libs():
     if _pdf_reader() is None:
         with pytest.raises(NotImplementedError):
             extract_any_py(b"%PDF-1.4", "pdf")
-    try:
-        import docx  # noqa: F401
 
-        has_docx = True
-    except ImportError:
-        has_docx = False
-    if not has_docx:
-        with pytest.raises(NotImplementedError):
-            extract_docx_text_py(b"PK\x03\x04")
+
+def _docx_bytes(body_xml: str) -> bytes:
+    """Minimal real .docx archive (zip with [Content_Types].xml, rels,
+    word/document.xml) around the given <w:body> inner XML."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{body_xml}</w:body></w:document>'
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def test_docx_stdlib_kernel_end_to_end():
+    """VERDICT r02 #3: the docx kernel runs on REAL docx bytes with no
+    third-party library — paragraphs joined with '' (reference
+    document_clustering.py:199), runs concatenated, tab/br mapped."""
+    payload = _docx_bytes(
+        "<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>second</w:t><w:tab/><w:t>col</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>a</w:t><w:br/><w:t>b</w:t></w:r></w:p>"
+    )
+    # the reference's "".join quirk: no separator between paragraphs
+    assert extract_docx_text_py(payload) == "Hello worldsecond\tcola\nb"
+    assert extract_any_py(payload, "docx") == "Hello worldsecond\tcola\nb"
+    # table-nested paragraphs are NOT body-level (python-docx parity)
+    nested = _docx_bytes(
+        "<w:p><w:r><w:t>top</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    )
+    assert extract_docx_text_py(nested) == "top"
+    # robustness: garbage / empty payloads -> '' (reference skips quietly)
+    assert extract_docx_text_py(b"PK\x03\x04 not a zip") == ""
+    assert extract_docx_text_py(b"") == ""
+    assert extract_docx_text_py(None) == ""
+
+
+def test_docx_through_spark_udf(spark):
+    payload = _docx_bytes("<w:p><w:r><w:t>spark docx path</w:t></w:r></w:p>")
+    df = spark.createDataFrame(
+        [(1, payload, "docx"), (2, b"plain", "txt")],
+        "doc_id long, payload binary, fmt string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in df.select(
+            "doc_id", extract_any_udf(F.col("payload"), F.col("fmt")).alias("text")
+        ).collect()
+    }
+    assert got == {1: "spark docx path", 2: "plain"}
 
 
 def test_dispatch_udf_on_spark(spark):
