@@ -177,6 +177,7 @@ def lang_id_ngram(
     docs: DataFrame,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """(doc_id, pred_lang, lang_hits): character-trigram language ID —
     the real-n-gram upgrade of ``lang_id`` behind the SAME interface.
@@ -185,7 +186,13 @@ def lang_id_ngram(
     that language's profile; pred = argmax, deterministic tie-break lang
     asc. Pure Catalyst codegen (transform/filter higher-order functions),
     no Python, no shuffle — scales linearly with corpus bytes.
+
+    ``profiles`` defaults to the hardcoded ``LANG_TRIGRAMS`` stand-ins
+    (which the SQL oracle embeds verbatim); pass the output of
+    ``train_lang_profiles`` for LEARNED profiles — the production story
+    (VERDICT r02 #4). The scoring plan is identical either way.
     """
+    profs = profiles if profiles is not None else LANG_TRIGRAMS
     tris = char_trigrams(F.col(text_col))
     base = docs.select(F.col(doc_col).alias("doc_id"), tris.alias("tris"))
     counts = [
@@ -195,10 +202,10 @@ def lang_id_ngram(
                 lambda t: F.array_contains(F.array(*[F.lit(g) for g in grams]), t),
             )
         ).alias(f"hits_{lang}")
-        for lang, grams in sorted(LANG_TRIGRAMS.items())
+        for lang, grams in sorted(profs.items())
     ]
     scored = base.select("doc_id", *counts)
-    langs = sorted(LANG_TRIGRAMS)
+    langs = sorted(profs)
     m = F.greatest(*[F.col(f"hits_{l}") for l in langs])
     expr = None
     for l in langs:
@@ -209,6 +216,59 @@ def lang_id_ngram(
         expr.alias("pred_lang"),
         m.cast("long").alias("lang_hits"),
     )
+
+
+def train_lang_profiles(
+    labeled_docs: DataFrame,
+    top_n: int = 40,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    distinct_boost: float = 2.0,
+) -> dict[str, tuple[str, ...]]:
+    """Learn per-language trigram profiles from a LABELED sample as one
+    distributed count job — the production replacement for the hardcoded
+    ``LANG_TRIGRAMS`` stand-ins, behind the same ``lang_id_ngram``
+    interface.
+
+    Scoring: a trigram's weight within a language is its relative document
+    frequency boosted by distinctiveness (frequency divided by the trigram's
+    total frequency across ALL languages, Cavnar–Trenkle-flavored); the
+    top_n per language form the profile, rank-ordered.
+
+    Scale shape: explode trigrams -> groupBy(lang, tri) count (algebraic,
+    map-side combined) -> per-lang totals broadcast-joined -> per-lang
+    top_n window. Only |langs| * top_n scalar rows ever reach the driver.
+    """
+    from pyspark.sql.window import Window
+
+    tris = labeled_docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    tri_tot = counts.groupBy("tri").agg(F.sum("n").alias("tri_total"))
+    scored = (
+        counts.join(F.broadcast(lang_tot), "lang")
+        .join(tri_tot, "tri")
+        .withColumn("rel", F.col("n") / F.col("lang_total"))
+        .withColumn("share", F.col("n") / F.col("tri_total"))
+        .withColumn("w", F.col("rel") * F.pow(F.col("share"), F.lit(distinct_boost)))
+    )
+    rnk = Window.partitionBy("lang").orderBy(F.col("w").desc(), F.col("tri").asc())
+    top = (
+        scored.withColumn("rn", F.row_number().over(rnk))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "tri", "rn")
+        .collect()  # |langs| * top_n scalar rows only
+    )
+    profiles: dict[str, list[tuple[int, str]]] = {}
+    for r in top:
+        profiles.setdefault(r["lang"], []).append((r["rn"], r["tri"]))
+    return {
+        lang: tuple(t for _, t in sorted(entries))
+        for lang, entries in profiles.items()
+    }
 
 
 def doc_fingerprints(

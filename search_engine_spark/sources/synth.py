@@ -218,3 +218,65 @@ REFERENCE_QUERY_SET: list[str] = [
     "ubiquitone",                        # negative-idf term (epsilon floor)
     "w0042 quartzine don't",             # mixed rare + punct-rich
 ]
+
+
+# ------------------------------------------------ multilingual lang-id corpus
+
+# ~30 high-frequency words per language: enough character-trigram signal to
+# train/evaluate lang-id profiles; deterministic word-salad docs below.
+LANG_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "quick", "brown", "people", "would", "there", "their",
+           "about", "which", "think", "other", "after", "first", "because",
+           "government", "through", "world", "information", "making",
+           "different", "important", "another", "question", "national",
+           "something", "development", "interest", "between", "history",
+           "without"),
+    "de": ("der", "die", "und", "nicht", "werden", "haben", "einen",
+           "deutschland", "menschen", "zwischen", "entwicklung", "geschichte",
+           "wichtig", "andere", "frage", "regierung", "durch", "welt",
+           "information", "machen", "unterschiedlich", "etwas", "interesse",
+           "ohne", "immer", "schon", "jahre", "heute", "gegen", "leben"),
+    "fr": ("le", "les", "des", "pour", "dans", "avec", "cette", "sont",
+           "france", "gens", "serait", "leur", "autour", "lequel", "penser",
+           "autre", "premier", "parce", "gouvernement", "travers", "monde",
+           "information", "faire", "question", "nationale", "quelque",
+           "entre", "histoire", "sans", "toujours"),
+    "es": ("el", "los", "las", "para", "con", "esta", "son", "gente",
+           "madrid", "entre", "desarrollo", "historia", "importante",
+           "otro", "pregunta", "gobierno", "mundo", "informacion", "hacer",
+           "diferente", "algo", "nacional", "interes", "sin", "siempre",
+           "despues", "primero", "porque", "pensar", "vida"),
+}
+
+
+def gen_multilingual_record(lang: str, doc_id: int, words_per_doc: int = 40) -> dict:
+    """One deterministic word-salad doc: pure function of (lang, doc_id)."""
+    vocab = LANG_WORDS[lang]
+    import zlib
+
+    # zlib.crc32, not hash(): str hash is salted per process
+    rng = np.random.RandomState(
+        (SEED * 1_000_003 + zlib.crc32(lang.encode()) % 65_521 + doc_id) % (2**31 - 1)
+    )
+    words = [vocab[i] for i in rng.randint(0, len(vocab), words_per_doc)]
+    return {"doc_id": doc_id, "lang": lang, "text": " ".join(words)}
+
+
+def synth_multilingual_local(n_per_lang: int, words_per_doc: int = 40) -> list[dict]:
+    out = []
+    doc_id = 0
+    for lang in sorted(LANG_WORDS):
+        for _ in range(n_per_lang):
+            out.append(gen_multilingual_record(lang, doc_id, words_per_doc))
+            doc_id += 1
+    return out
+
+
+def synth_multilingual_df(
+    spark: SparkSession, n_per_lang: int, words_per_doc: int = 40
+) -> DataFrame:
+    """(doc_id, lang, text) labeled multilingual corpus for lang-id
+    training/eval; deterministic and identical at any parallelism."""
+    return spark.createDataFrame(
+        pd.DataFrame(synth_multilingual_local(n_per_lang, words_per_doc))
+    )
