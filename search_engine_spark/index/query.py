@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 from search_engine_spark.index.codec import varbyte_decode
+from search_engine_spark.operators.scoring import _local_df
 
 _SCORE_SCHEMA = StructType(
     [
@@ -80,6 +81,37 @@ class CompressedIndex:
         self.term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
         self._min_doc_weight: float | None = None
         self._max_idf: float | None = None
+        # driver-side idf memo (terms QUERIED, never O(|V|)); misses are a
+        # min/max-pruned filter+collect over the term_stats parquet.
+        self._idf_memo: dict[str, float | None] = {}
+        # serve-path task packing: a single-query decode should not
+        # schedule one Python-UDF task per tiny index file. Pack the
+        # pruned block scan to ~64 MB/task (computed once from file
+        # sizes); for a large index target >= #files and coalesce is a
+        # no-op, so scan parallelism survives scale-up.
+        pbytes = 0
+        pdir = os.path.join(path, "postings")
+        for root, _, files in os.walk(pdir):
+            pbytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        self._serve_parts = max(1, -(-pbytes // (64 << 20)))
+
+    def _idf_lookup(self, terms: list[str]) -> dict[str, float]:
+        missing = [t for t in set(terms) if t not in self._idf_memo]
+        if missing:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "idf")
+                .collect()
+            )
+            for r in rows:
+                self._idf_memo[r["term"]] = float(r["idf"])
+            for t in missing:
+                self._idf_memo.setdefault(t, None)
+        return {t: v for t in terms if (v := self._idf_memo.get(t)) is not None}
 
     def max_idf(self) -> float:
         """Largest epsilon-floored idf (cached); <= 0 means no positive
@@ -104,14 +136,17 @@ class CompressedIndex:
 
     # ---------------------------------------------------------------- decode
 
-    def _decode_score_udf(self, qtf: dict[str, int]):
+    def _decode_score_udf(self, qtf: dict[str, int], idfs: dict[str, float]):
         """mapInPandas: encoded blocks -> (doc_int, contrib, weight).
 
         Closes over plain scalars only (never ``self`` — it holds the
-        SparkSession and is not serializable to workers).
+        SparkSession and is not serializable to workers). ``idfs`` rides in
+        the closure (<= |q| entries) instead of a per-query broadcast join
+        against term_stats.
         """
         k1, b, avgdl = self.k1, self.b, self.avgdl
         qtf = dict(qtf)
+        idfs = dict(idfs)
 
         def run(batches):
             for pdf in batches:
@@ -127,7 +162,7 @@ class CompressedIndex:
                     tfs = varbyte_decode(row.tfs).astype(np.float64)
                     dls = varbyte_decode(row.dls).astype(np.float64)
                     wts = np.frombuffer(row.weights, dtype=np.float64)
-                    mult = float(qtf.get(row.term, 1)) * float(row.idf)
+                    mult = float(qtf.get(row.term, 1)) * float(idfs.get(row.term, 0.0))
                     contrib = mult * (tfs * (k1 + 1)) / (
                         tfs + k1 * (1 - b + b * dls / avgdl)
                     )
@@ -145,10 +180,10 @@ class CompressedIndex:
         return self.postings.filter(F.col("term").isin(terms))
 
     def _decode_blocks(self, blocks: DataFrame, qtf: dict[str, int]) -> DataFrame:
-        with_idf = blocks.join(
-            F.broadcast(self.term_stats.select("term", "idf")), "term"
+        idfs = self._idf_lookup(sorted(qtf))
+        return blocks.coalesce(self._serve_parts).mapInPandas(
+            self._decode_score_udf(qtf, idfs), _SCORE_SCHEMA
         )
-        return with_idf.mapInPandas(self._decode_score_udf(qtf), _SCORE_SCHEMA)
 
     def _agg_scores(self, decoded: DataFrame) -> DataFrame:
         return decoded.groupBy("doc_int").agg(
@@ -219,7 +254,7 @@ class CompressedIndex:
             key=lambda x: (-x[2], x[0]),
         )[:k]
         out = [(i + 1, d, s) for i, (_, d, s) in enumerate(merged) if s > ms]
-        return self.spark.createDataFrame(out, schema=schema)
+        return _local_df(self.spark, out, schema)
 
     # ----------------------------------------------------------------- WAND
 
@@ -241,8 +276,8 @@ class CompressedIndex:
         if self.min_doc_weight() < 0:
             return full()
 
-        qtf_df = self.spark.createDataFrame(
-            [(t, float(c)) for t, c in sorted(qtf.items())], "term string, qmult double"
+        qtf_df = _local_df(
+            self.spark, [(t, float(c)) for t, c in sorted(qtf.items())], "term string, qmult double"
         )
         meta = (
             self._blocks_for_terms(terms)
@@ -279,7 +314,7 @@ class CompressedIndex:
             (r["term"], int(r["best"]["part_id"]), int(r["best"]["block_id"]))
             for r in per_term_rows
         ]
-        best_df = self.spark.createDataFrame(best_rows, "term string, part_id int, block_id int")
+        best_df = _local_df(self.spark, best_rows, "term string, part_id int, block_id int")
         phase1 = self._agg_scores(
             self._decode_blocks(
                 self._blocks_for_terms(terms).join(
@@ -300,7 +335,8 @@ class CompressedIndex:
         # metadata scan (slack clamps at 0: a doc missing term t'
         # contributes 0, never less). Driver holds only |terms| slacks.
         sum_gm = sum(max(m, 0.0) for m in global_max.values())
-        slack_df = self.spark.createDataFrame(
+        slack_df = _local_df(
+            self.spark,
             [(t, sum_gm - max(global_max[t], 0.0)) for t in sorted(global_max)],
             "term string, slack double",
         )
@@ -353,7 +389,7 @@ class CompressedIndex:
         # decode only blocks whose [first_doc, last_doc] range contains a
         # finalist (searchsorted membership test — column-pruned metadata),
         # restricted to finalist docs, for EXACT scores
-        fin_df = self.spark.createDataFrame([(int(d),) for d in fin_arr], "doc_int long")
+        fin_df = _local_df(self.spark, [(int(d),) for d in fin_arr], "doc_int long")
 
         @F.pandas_udf(BooleanType())
         def touches(first: pd.Series, last: pd.Series) -> pd.Series:

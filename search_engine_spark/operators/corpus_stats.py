@@ -59,8 +59,41 @@ class BM25Index:
     avgdl: float
     average_idf: float
     cfg: EngineConfig
+    # (doc_id, term, tf, doc_len, doc_weight) — postings denormalized with
+    # the per-doc scalars, computed partition-LOCALLY at build (zero joins:
+    # a doc's tokens all live in its own row, so doc_len needs no shuffle).
+    # Serving reads THIS relation: query = scoring_postings ⋈ broadcast(q)
+    # -> one hash agg -> TakeOrdered, with no per-query doc_stats join.
+    # The storage cost (2 extra columns) is paid once at build — the
+    # classic doc-length-in-postings search-index trade.
+    scoring_postings: DataFrame | None = field(default=None, repr=False)
     _max_idf: float | None = field(default=None, repr=False)
     _min_weight: float | None = field(default=None, repr=False)
+    # driver-side idf memo for serving: maps term -> idf (None = not in
+    # vocabulary). Bounded by distinct QUERIED terms (not |V|) and hard-
+    # capped; misses are one pruned filter+collect over term_stats.
+    _idf_memo: dict = field(default_factory=dict, repr=False)
+
+    _IDF_MEMO_CAP = 200_000
+
+    def idf_lookup(self, terms: list[str]) -> dict[str, float]:
+        """idf for each known term among ``terms`` (<= |q| rows collected —
+        never O(|V|) driver state). Terms absent from the vocabulary are
+        omitted (reference ``idf.get(q) or 0`` contributes nothing)."""
+        missing = [t for t in set(terms) if t not in self._idf_memo]
+        if missing:
+            if len(self._idf_memo) > self._IDF_MEMO_CAP:
+                self._idf_memo.clear()
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "idf")
+                .collect()
+            )
+            for r in rows:
+                self._idf_memo[r["term"]] = float(r["idf"])
+            for t in missing:
+                self._idf_memo.setdefault(t, None)
+        return {t: v for t in terms if (v := self._idf_memo.get(t)) is not None}
 
     def max_idf(self) -> float:
         """Largest epsilon-floored idf (cached). When <= 0 no document can
@@ -78,7 +111,12 @@ class BM25Index:
         return self._min_weight
 
     def cache(self) -> "BM25Index":
-        self.postings = self.postings.cache()
+        if self.scoring_postings is not None:
+            # postings is a projection of scoring_postings — caching the
+            # parent serves both; caching both would double the memory.
+            self.scoring_postings = self.scoring_postings.cache()
+        else:
+            self.postings = self.postings.cache()
         self.doc_stats = self.doc_stats.cache()
         self.term_stats = self.term_stats.cache()
         return self
@@ -86,6 +124,8 @@ class BM25Index:
     def unpersist(self) -> None:
         for df in (self.postings, self.doc_stats, self.term_stats):
             df.unpersist()
+        if self.scoring_postings is not None:
+            self.scoring_postings.unpersist()
 
     def vocabulary(self) -> DataFrame:
         return self.term_stats.select("term")
@@ -121,6 +161,7 @@ def build_postings_local(
     cfg: EngineConfig = DEFAULT_CONFIG,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf) with NO shuffle — the scalable build path.
 
@@ -131,6 +172,13 @@ def build_postings_local(
     (bit-identical to the reference tokenizer, no JVM-regex dialect
     concerns), then a single C-speed pandas groupby over the batch's
     (row, term) pairs. Output rows are already distinct on (doc_id, term).
+
+    With ``weight_col`` set the output is DENORMALIZED to
+    (doc_id, term, tf, doc_len, doc_weight): doc_len is the same
+    partition-local sum (no join, no shuffle — a doc's tokens never leave
+    its row) and doc_weight is carried through from the input. This is the
+    serving relation BM25Index.scoring_postings — queries score without a
+    doc_stats join.
     """
     import re as _re
 
@@ -138,6 +186,8 @@ def build_postings_local(
     out_schema = (
         f"doc_id {docs.schema[doc_col].dataType.simpleString()}, term string, tf int"
     )
+    if weight_col is not None:
+        out_schema += ", doc_len long, doc_weight double"
 
     def count_terms(batches):
         import pandas as pd
@@ -146,6 +196,11 @@ def build_postings_local(
         for pdf in batches:
             ids: list = []
             terms: list[str] = []
+            weights: dict = (
+                dict(zip(pdf[doc_col], pdf[weight_col].astype("float64")))
+                if weight_col is not None
+                else {}
+            )
             for did, text in zip(pdf[doc_col], pdf[text_col]):
                 toks = punct.sub(" ", (text or "").lower()).split()
                 for t in toks:
@@ -161,9 +216,13 @@ def build_postings_local(
                 .reset_index(name="tf")
             )
             g["tf"] = g["tf"].astype("int32")
+            if weight_col is not None:
+                g["doc_len"] = g.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int64")
+                g["doc_weight"] = g["doc_id"].map(weights).astype("float64")
             yield g
 
-    return docs.select(doc_col, text_col).mapInPandas(count_terms, out_schema)
+    cols = [doc_col, text_col] + ([weight_col] if weight_col is not None else [])
+    return docs.select(*cols).mapInPandas(count_terms, out_schema)
 
 
 def build_bm25_index(
@@ -192,7 +251,10 @@ def build_bm25_index(
     # recomputed per action; spills to disk if it exceeds executor memory
     from pyspark import StorageLevel
 
-    postings = build_postings_local(base, cfg, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    scoring_postings = build_postings_local(
+        base, cfg, "doc_id", "text", weight_col="doc_weight"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    postings = scoring_postings.drop("doc_len", "doc_weight")
 
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_stats = (
@@ -230,4 +292,5 @@ def build_bm25_index(
         avgdl=avgdl,
         average_idf=average_idf,
         cfg=cfg,
+        scoring_postings=scoring_postings,
     )

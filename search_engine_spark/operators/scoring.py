@@ -33,45 +33,79 @@ from pyspark.sql import functions as F
 from search_engine_spark.operators.corpus_stats import BM25Index
 
 
+def _local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Small driver-side relation via the Arrow/pandas path: a plain-list
+    ``createDataFrame`` parallelizes to defaultParallelism slices, so even a
+    10-row relation schedules 32 tasks per downstream scan (~0.3s/job on
+    this box); the pandas path is one Arrow batch (~10x cheaper)."""
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], schema=schema)
+    names = (
+        [f.name for f in schema.fields]
+        if hasattr(schema, "fields")
+        else [c.split()[0] for c in schema.split(",")]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
+
+
 def query_terms_df(spark: SparkSession, tokens: list[str]) -> DataFrame:
     """(term, qtf) — query tokens aggregated with multiplicity (a repeated
     token contributes its BM25 term twice, utils/bm250kapi_weighted.py:64)."""
     counts = Counter(tokens)
-    return spark.createDataFrame(
-        [(t, int(c)) for t, c in sorted(counts.items())], schema="term string, qtf int"
+    return _local_df(
+        spark, [(t, int(c)) for t, c in sorted(counts.items())], "term string, qtf int"
     )
+
+
+def _bm25_part(cfg, avgdl: float):
+    """Per-posting BM25 contribution expression (needs qtf/idf/tf/doc_len)."""
+    return (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (cfg.k1 + 1))
+        / (F.col("tf") + cfg.k1 * (1 - cfg.b + cfg.b * F.col("doc_len") / F.lit(avgdl)))
+    ).alias("part")
 
 
 def score_query(index: BM25Index, tokens: list[str]) -> DataFrame:
     """Sparse per-doc scores for one tokenized query: (doc_id, score).
 
     Docs containing no query term are absent (implicit score 0).
+
+    Serving plan (scoring_postings present — the build_bm25_index default):
+    scoring_postings ⋈ broadcast(query terms+idf) -> hash agg -> done. ONE
+    shuffle (the doc_id agg), no doc_stats join: doc_len/doc_weight ride in
+    the postings rows, paid once at build. The legacy 3-relation join is
+    kept for hand-assembled indexes (streaming to_bm25_index).
     """
     spark = index.postings.sparkSession
     cfg = index.cfg
-    qt = query_terms_df(spark, tokens)
 
     # terms unknown to the vocabulary contribute idf 0 (reference
-    # ``idf.get(q) or 0``) — the inner join drops them, same result.
-    q_idf = F.broadcast(qt).join(F.broadcast(index.term_stats.select("term", "idf")), "term")
-
-    contrib = (
-        index.postings.join(F.broadcast(q_idf), "term")
-        .join(index.doc_stats, "doc_id")
-        .select(
-            "doc_id",
-            "doc_weight",
-            (
-                F.col("qtf")
-                * F.col("idf")
-                * (F.col("tf") * (cfg.k1 + 1))
-                / (
-                    F.col("tf")
-                    + cfg.k1 * (1 - cfg.b + cfg.b * F.col("doc_len") / F.lit(index.avgdl))
-                )
-            ).alias("part"),
-        )
+    # ``idf.get(q) or 0``) — they are simply absent from the lookup. The
+    # idf lookup is a memoized <= |q|-row collect, so the main job's only
+    # broadcast is a driver-built local relation (no broadcast-build
+    # sub-job per query).
+    counts = Counter(tokens)
+    idfs = index.idf_lookup(sorted(counts))
+    q_idf = _local_df(
+        spark,
+        [(t, int(c), idfs[t]) for t, c in sorted(counts.items()) if t in idfs],
+        "term string, qtf int, idf double",
     )
+
+    if index.scoring_postings is not None:
+        contrib = index.scoring_postings.join(F.broadcast(q_idf), "term").select(
+            "doc_id", "doc_weight", _bm25_part(cfg, index.avgdl)
+        )
+    else:
+        contrib = (
+            index.postings.join(F.broadcast(q_idf), "term")
+            .join(index.doc_stats, "doc_id")
+            .select("doc_id", "doc_weight", _bm25_part(cfg, index.avgdl))
+        )
     return contrib.groupBy("doc_id").agg(
         (F.sum("part") * F.first("doc_weight")).alias("score")
     )
@@ -145,22 +179,21 @@ def batch_search_topk(
                 ]
             ),
         )
-    qt = spark.createDataFrame(qrows, "query_id long, term string, qtf int")
+    qt = _local_df(spark, qrows, "query_id long, term string, qtf int")
 
-    contrib = (
-        index.postings.join(F.broadcast(qt), "term")
-        .join(F.broadcast(index.term_stats.select("term", "idf")), "term")
-        .join(index.doc_stats, "doc_id")
-        .select(
-            "query_id",
-            "doc_id",
-            "doc_weight",
-            (
-                F.col("qtf") * F.col("idf") * (F.col("tf") * (cfg.k1 + 1))
-                / (F.col("tf") + cfg.k1 * (1 - cfg.b + cfg.b * F.col("doc_len") / F.lit(index.avgdl)))
-            ).alias("part"),
+    if index.scoring_postings is not None:
+        contrib = (
+            index.scoring_postings.join(F.broadcast(qt), "term")
+            .join(F.broadcast(index.term_stats.select("term", "idf")), "term")
+            .select("query_id", "doc_id", "doc_weight", _bm25_part(cfg, index.avgdl))
         )
-    )
+    else:
+        contrib = (
+            index.postings.join(F.broadcast(qt), "term")
+            .join(F.broadcast(index.term_stats.select("term", "idf")), "term")
+            .join(index.doc_stats, "doc_id")
+            .select("query_id", "doc_id", "doc_weight", _bm25_part(cfg, index.avgdl))
+        )
     scored = contrib.groupBy("query_id", "doc_id").agg(
         (F.sum("part") * F.first("doc_weight")).alias("score")
     )
@@ -266,4 +299,4 @@ def search_topk(
     out = [
         (i + 1, d, s) for i, (d, s) in enumerate(merged) if s > ms
     ]
-    return spark.createDataFrame(out, schema=schema)
+    return _local_df(spark, out, schema)
