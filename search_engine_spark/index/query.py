@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -59,6 +60,9 @@ _SCORE_SCHEMA = StructType(
         StructField("contrib", DoubleType()),
         StructField("weight", DoubleType()),
     ]
+)
+_SCORE_SCHEMA_T = StructType(
+    _SCORE_SCHEMA.fields + [StructField("term", StringType())]
 )
 
 
@@ -136,13 +140,17 @@ class CompressedIndex:
 
     # ---------------------------------------------------------------- decode
 
-    def _decode_score_udf(self, qtf: dict[str, int], idfs: dict[str, float]):
-        """mapInPandas: encoded blocks -> (doc_int, contrib, weight).
+    def _decode_score_udf(
+        self, qtf: dict[str, int], idfs: dict[str, float], with_term: bool = False
+    ):
+        """mapInPandas: encoded blocks -> (doc_int, contrib, weight
+        [, term]).
 
         Closes over plain scalars only (never ``self`` — it holds the
         SparkSession and is not serializable to workers). ``idfs`` rides in
         the closure (<= |q| entries) instead of a per-query broadcast join
-        against term_stats.
+        against term_stats. ``with_term`` additionally emits the term per
+        row so WAND can track which terms a doc's partial already covers.
         """
         k1, b, avgdl = self.k1, self.b, self.avgdl
         qtf = dict(qtf)
@@ -166,11 +174,10 @@ class CompressedIndex:
                     contrib = mult * (tfs * (k1 + 1)) / (
                         tfs + k1 * (1 - b + b * dls / avgdl)
                     )
-                    outs.append(
-                        pd.DataFrame(
-                            {"doc_int": docs, "contrib": contrib, "weight": wts}
-                        )
-                    )
+                    cols = {"doc_int": docs, "contrib": contrib, "weight": wts}
+                    if with_term:
+                        cols["term"] = row.term
+                    outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
@@ -179,10 +186,13 @@ class CompressedIndex:
     def _blocks_for_terms(self, terms: list[str]) -> DataFrame:
         return self.postings.filter(F.col("term").isin(terms))
 
-    def _decode_blocks(self, blocks: DataFrame, qtf: dict[str, int]) -> DataFrame:
+    def _decode_blocks(
+        self, blocks: DataFrame, qtf: dict[str, int], with_term: bool = False
+    ) -> DataFrame:
         idfs = self._idf_lookup(sorted(qtf))
+        schema = _SCORE_SCHEMA_T if with_term else _SCORE_SCHEMA
         return blocks.coalesce(self._serve_parts).mapInPandas(
-            self._decode_score_udf(qtf, idfs), _SCORE_SCHEMA
+            self._decode_score_udf(qtf, idfs, with_term), schema
         )
 
     def _agg_scores(self, decoded: DataFrame) -> DataFrame:
@@ -249,6 +259,10 @@ class CompressedIndex:
             positives = sum(1 for r in rows if float(r["score"]) > 0.0)
             if positives < k and self.corpus_size > 0:
                 rows += pad_plan.limit(k - positives).collect()
+        wc = getattr(self, "_wand_cache", None)
+        if wc is not None:
+            wc.unpersist()
+            self._wand_cache = None
         merged = sorted(
             ((int(r["doc_int"]), r["doc_id"], float(r["score"])) for r in rows),
             key=lambda x: (-x[2], x[0]),
@@ -341,15 +355,23 @@ class CompressedIndex:
             "term string, slack double",
         )
         survives = F.col("bmax") + F.col("slack") >= F.lit(theta)
-        counts = (
+        # ONE metadata agg job -> |terms| rows: kept/total block counts AND
+        # the per-term pruned maxima phase 3 needs (they depend only on
+        # theta, not on theta_k — folding them here saves a driver round).
+        stats_rows = (
             meta.join(F.broadcast(slack_df), "term")
+            .groupBy("term")
             .agg(
                 F.count(F.lit(1)).alias("total"),
                 F.sum(F.when(survives, 1).otherwise(0)).alias("kept"),
+                F.max(F.when(~survives, F.col("bmax"))).alias("pm"),
             )
-            .collect()[0]
+            .collect()
         )
-        kept = int(counts["kept"] or 0)
+        kept = sum(int(r["kept"] or 0) for r in stats_rows)
+        slack_all = sum(
+            max(float(r["pm"]), 0.0) for r in stats_rows if r["pm"] is not None
+        )
         if kept == 0 or kept == total_blocks:
             return full()
 
@@ -360,31 +382,62 @@ class CompressedIndex:
             .filter(F.col("max_score") * F.col("qmult") + F.col("slack") >= F.lit(theta))
             .drop("qmult", "slack")
         )
-        partial = self._agg_scores(self._decode_blocks(surv_blocks, qtf)).cache()
+        # term-aware partials: collect_set(term) tracks which terms each
+        # doc's partial already covers exactly (a doc appears in exactly
+        # ONE block per posting list, so a surviving term's contribution
+        # is never partial — it is exact or absent).
+        partial_t = (
+            self._decode_blocks(surv_blocks, qtf, with_term=True)
+            .groupBy("doc_int")
+            .agg(
+                (F.sum("contrib") * F.first("weight")).alias("score"),
+                F.collect_set("term").alias("terms_present"),
+            )
+            .cache()
+        )
+        partial = partial_t.select("doc_int", "score")
+        self._wand_cache = partial_t  # released by search_topk after collect
 
-        # phase 3: finalists + exact rescore. pruned_max per term is a
-        # second small agg over the (distributed) metadata -> |terms| rows.
+        # phase 3: finalists + exact rescore with PER-DOC slack: a doc's
+        # exact score can only exceed its partial by the pruned maxima of
+        # terms MISSING from its partial — exact(d) <= partial(d) +
+        # sum_{t not in present(d)} pruned_max(t). The blanket slack_all
+        # (sum over ALL terms) balloons finalists into the CAP fallback
+        # whenever per-term score bands are tight (flat tf-saturated
+        # corpora); the per-doc bound prunes per coverage instead.
         theta_k_rows = partial.orderBy(F.col("score").desc()).limit(k).collect()
         theta_k = float(theta_k_rows[-1]["score"]) if len(theta_k_rows) >= k else float("-inf")
-        pruned_rows = (
-            meta.join(F.broadcast(slack_df), "term")
-            .filter(~survives)
-            .groupBy("term")
-            .agg(F.max("bmax").alias("pm"))
-            .collect()
-        )
-        slack_all = sum(max(float(r["pm"]), 0.0) for r in pruned_rows)
-        finalists = partial.filter(F.col("score") + F.lit(slack_all) >= F.lit(theta_k))
-        n_fin = finalists.count()
-        if n_fin == 0:
+        pm_map = {
+            r["term"]: max(float(r["pm"]), 0.0)
+            for r in stats_rows
+            if r["pm"] is not None
+        }
+        if pm_map:
+            pm_lit = F.create_map(
+                *[x for t, v in sorted(pm_map.items()) for x in (F.lit(t), F.lit(v))]
+            )
+            present_pruned = F.aggregate(
+                F.col("terms_present"),
+                F.lit(0.0),
+                lambda acc, t: acc + F.coalesce(F.element_at(pm_lit, t), F.lit(0.0)),
+            )
+            doc_slack = F.lit(slack_all) - present_pruned
+        else:
+            doc_slack = F.lit(slack_all)
+        finalists = partial_t.filter(F.col("score") + doc_slack >= F.lit(theta_k))
+        # one capped collect doubles as the count check (no separate
+        # count() job); CAP+1 rows proves overflow without funneling more.
+        fin_rows = finalists.select("doc_int").limit(self.FINALIST_CAP + 1).collect()
+        if not fin_rows:
             return partial
-        if n_fin > self.FINALIST_CAP:
+        if len(fin_rows) > self.FINALIST_CAP:
             # bounded-driver guarantee: a pathological theta that leaves too
             # many finalists never funnels them through the driver — the
             # exact full decode is cheaper than a huge rescue anyway.
-            partial.unpersist()
+            partial_t.unpersist()
+            self._wand_cache = None
             return full()
-        fin_ids = [int(r["doc_int"]) for r in finalists.select("doc_int").collect()]
+        fin_ids = [int(r["doc_int"]) for r in fin_rows]
         fin_arr = np.array(sorted(fin_ids), dtype=np.int64)
         # decode only blocks whose [first_doc, last_doc] range contains a
         # finalist (searchsorted membership test — column-pruned metadata),

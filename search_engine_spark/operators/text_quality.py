@@ -47,12 +47,13 @@ def quality_features(
     adapted to text-only inputs.
     """
     stop = sorted(w for w in cfg.stopwords if len(w) > 1 and w.isalnum())
-    stop_arr = F.array(*[F.lit(s) for s in stop])
     toks = ws_tokens(F.lower(F.col(text_col)))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\w\s]", ""))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # isin over >10 literals optimizes to InSet (hash lookup per token),
+    # not the O(|stopwords|) array_contains scan
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
     avg_tok = F.when(
         n_tokens > 0,
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tokens,
@@ -90,9 +91,7 @@ def lang_id(
     toks = ws_tokens(F.lower(F.col(text_col)))
     base = docs.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
     counts = [
-        F.size(
-            F.filter(F.col("toks"), lambda t: F.array_contains(F.array(*[F.lit(w) for w in words]), t))
-        ).alias(f"hits_{lang}")
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*words))).alias(f"hits_{lang}")
         for lang, words in sorted(LANG_MARKERS.items())
     ]
     scored = base.select("doc_id", *counts)
@@ -196,12 +195,7 @@ def lang_id_ngram(
     tris = char_trigrams(F.col(text_col))
     base = docs.select(F.col(doc_col).alias("doc_id"), tris.alias("tris"))
     counts = [
-        F.size(
-            F.filter(
-                F.col("tris"),
-                lambda t: F.array_contains(F.array(*[F.lit(g) for g in grams]), t),
-            )
-        ).alias(f"hits_{lang}")
+        F.size(F.filter(F.col("tris"), lambda t: t.isin(*grams))).alias(f"hits_{lang}")
         for lang, grams in sorted(profs.items())
     ]
     scored = base.select("doc_id", *counts)
