@@ -8,8 +8,10 @@ operation: (payload: binary, fmt: string) -> text. Per-format kernels:
 
 - txt:   utf-8 decode with errors ignored (reference :178-181)
 - html:  the byte-identical HTML extractor (functions/html_extract)
-- pdf:   gated on pypdf/PyPDF2 (functions/pdf_extract) — never executed
-         here (library absent)
+- pdf:   pypdf/PyPDF2 when available, else a STDLIB kernel
+         (functions/pdf_extract: object scan, page-tree walk, zlib
+         FlateDecode, Tj/TJ/'/" text operators). Real pdf bytes
+         round-trip in tests; no third-party dependency needed.
 - docx:  python-docx when available, else a STDLIB kernel (.docx is a zip
          of XML: ``zipfile`` + ``xml.etree`` over word/document.xml) that
          reproduces python-docx's paragraph.text semantics — body-level

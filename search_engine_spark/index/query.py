@@ -40,8 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
-    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -141,7 +141,11 @@ class CompressedIndex:
     # ---------------------------------------------------------------- decode
 
     def _decode_score_udf(
-        self, qtf: dict[str, int], idfs: dict[str, float], with_term: bool = False
+        self,
+        qtf: dict[str, int],
+        idfs: dict[str, float],
+        with_term: bool = False,
+        fin_arr: np.ndarray | None = None,
     ):
         """mapInPandas: encoded blocks -> (doc_int, contrib, weight
         [, term]).
@@ -151,6 +155,13 @@ class CompressedIndex:
         the closure (<= |q| entries) instead of a per-query broadcast join
         against term_stats. ``with_term`` additionally emits the term per
         row so WAND can track which terms a doc's partial already covers.
+        ``fin_arr`` (sorted int64) restricts output to those doc ids: a
+        block whose [first_doc, last_doc] range contains no finalist is
+        skipped before decoding, and decoded rows are searchsorted-filtered
+        to finalists. Doing the membership test INSIDE this UDF (instead of
+        a pandas-UDF filter stage feeding this one) matters: chaining an
+        ArrowEvalPython filter into a MapInPandas stage forces a second
+        python runner per task (measured ~5-6s/action on warm plans).
         """
         k1, b, avgdl = self.k1, self.b, self.avgdl
         qtf = dict(qtf)
@@ -160,6 +171,11 @@ class CompressedIndex:
             for pdf in batches:
                 outs = []
                 for row in pdf.itertuples(index=False):
+                    if fin_arr is not None:
+                        lo = np.searchsorted(fin_arr, row.first_doc, side="left")
+                        hi = np.searchsorted(fin_arr, row.last_doc, side="right")
+                        if hi <= lo:
+                            continue  # no finalist in this block's range
                     n = int(row.n)
                     docs = np.empty(n, dtype=np.int64)
                     docs[0] = row.first_doc
@@ -170,6 +186,15 @@ class CompressedIndex:
                     tfs = varbyte_decode(row.tfs).astype(np.float64)
                     dls = varbyte_decode(row.dls).astype(np.float64)
                     wts = np.frombuffer(row.weights, dtype=np.float64)
+                    if fin_arr is not None:
+                        # docs ascending, fin_arr sorted: membership via
+                        # searchsorted (no np.isin re-sort)
+                        pos = np.searchsorted(fin_arr, docs, side="left")
+                        pos[pos >= len(fin_arr)] = len(fin_arr) - 1
+                        mask = fin_arr[pos] == docs
+                        if not mask.any():
+                            continue
+                        docs, tfs, dls, wts = docs[mask], tfs[mask], dls[mask], wts[mask]
                     mult = float(qtf.get(row.term, 1)) * float(idfs.get(row.term, 0.0))
                     contrib = mult * (tfs * (k1 + 1)) / (
                         tfs + k1 * (1 - b + b * dls / avgdl)
@@ -187,12 +212,16 @@ class CompressedIndex:
         return self.postings.filter(F.col("term").isin(terms))
 
     def _decode_blocks(
-        self, blocks: DataFrame, qtf: dict[str, int], with_term: bool = False
+        self,
+        blocks: DataFrame,
+        qtf: dict[str, int],
+        with_term: bool = False,
+        fin_arr: np.ndarray | None = None,
     ) -> DataFrame:
         idfs = self._idf_lookup(sorted(qtf))
         schema = _SCORE_SCHEMA_T if with_term else _SCORE_SCHEMA
         return blocks.coalesce(self._serve_parts).mapInPandas(
-            self._decode_score_udf(qtf, idfs, with_term), schema
+            self._decode_score_udf(qtf, idfs, with_term, fin_arr), schema
         )
 
     def _agg_scores(self, decoded: DataFrame) -> DataFrame:
@@ -274,20 +303,42 @@ class CompressedIndex:
 
     # Driver-side state per WAND query is O(|terms|) scalars + O(k) theta
     # rows + at most FINALIST_CAP finalist ids; ALL block metadata stays
-    # distributed (per-term maxima/best blocks via max_by, survivor
-    # selection as a broadcast-joined filter on the metadata scan).
+    # distributed (per-term best blocks via an in-plan row_number window,
+    # survivor selection as a broadcast-joined filter on the metadata scan).
     FINALIST_CAP = 200_000
+    # blocks per term decoded for the theta estimate. More blocks -> tighter
+    # theta -> fewer phase-2 survivors, at negligible phase-1 cost (the
+    # decode stays O(|terms| * THETA_BLOCKS) blocks).
+    THETA_BLOCKS = 4
 
     def _wand_scores(self, qtf: dict[str, int], k: int) -> DataFrame:
-        """Block-max-pruned sparse scores, result-identical to full decode."""
+        """Block-max-pruned sparse scores, result-identical to full decode.
+
+        FOUR driver actions per query, each with a bounded result: theta +
+        per-term maxima (tag-unioned, |terms|+k rows), survivor stats
+        (|terms| rows), theta_k top-k (materializes the partials cache),
+        capped finalist ids. Deliberately NOT fused into in-plan scalar
+        subqueries: broadcast subtrees containing python stages are not
+        exchange-reused across consumers, so the fused plan re-decoded the
+        theta blocks per consumer and measured ~2x slower end-to-end than
+        these small sequential actions.
+        """
         terms = sorted(qtf)
 
         def full():
             return self._agg_scores(self._decode_blocks(self._blocks_for_terms(terms), qtf))
 
-        # WAND precondition: non-negative contributions (lower-bound
-        # algebra). Negative doc weights flip the bounds — fall back.
+        # WAND preconditions, both checked WITHOUT a job: non-negative
+        # contributions (lower-bound algebra — a negative doc weight or a
+        # negative epsilon-floored IDF flips partial sums from lower to
+        # upper bounds). min_doc_weight is a cached scalar; idfs come from
+        # the memoized driver-side lookup the decode closure needs anyway.
         if self.min_doc_weight() < 0:
+            return full()
+        idfs = self._idf_lookup(terms)
+        if not idfs:
+            return full()  # no query term exists in the index
+        if any(v < 0 for v in idfs.values()):
             return full()
 
         qtf_df = _local_df(
@@ -302,48 +353,50 @@ class CompressedIndex:
                 (F.col("max_score") * F.col("qmult")).alias("bmax"),
             )
         )
-        # ONE distributed agg -> |terms| rows on the driver: per-term global
-        # max, best block, block count. Never the full metadata.
-        per_term_rows = (
-            meta.groupBy("term")
-            .agg(
-                F.max("bmax").alias("gm"),
-                F.max_by(F.struct("part_id", "block_id"), F.col("bmax")).alias("best"),
-                F.count(F.lit(1)).alias("nblocks"),
-            )
-            .collect()
+        # phase 1 (ONE action): per-term global maxima AND the theta
+        # estimate, tag-unioned into a single |terms|+k row collect. Best
+        # blocks are selected IN-PLAN (row_number over the metadata scan),
+        # so no metadata round-trip precedes the theta decode; partial doc
+        # scores over each term's top THETA_BLOCKS blocks are lower bounds
+        # of true scores, so the k-th largest is a valid theta.
+        w = Window.partitionBy("term").orderBy(
+            F.col("bmax").desc(), F.col("part_id").asc(), F.col("block_id").asc()
         )
-        if not per_term_rows:
-            return full()
-        global_max = {r["term"]: float(r["gm"]) for r in per_term_rows}
-        total_blocks = sum(int(r["nblocks"]) for r in per_term_rows)
-        # WAND precondition (cont.): a negative epsilon-floored IDF
-        # (average_idf < 0 corpora) also makes partial sums UPPER bounds —
-        # fall back to the full decode (rare, pathological corpora).
-        if any(m < 0 for m in global_max.values()):
-            return full()
-
-        # phase 1: theta from each term's best block (true partial scores)
-        best_rows = [
-            (r["term"], int(r["best"]["part_id"]), int(r["best"]["block_id"]))
-            for r in per_term_rows
-        ]
-        best_df = _local_df(self.spark, best_rows, "term string, part_id int, block_id int")
+        best_ids = (
+            meta.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.THETA_BLOCKS)
+            .select("term", "part_id", "block_id")
+        )
         phase1 = self._agg_scores(
             self._decode_blocks(
                 self._blocks_for_terms(terms).join(
-                    F.broadcast(best_df), ["term", "part_id", "block_id"]
+                    F.broadcast(best_ids), ["term", "part_id", "block_id"]
                 ),
                 qtf,
             )
         )
-        theta_rows = phase1.orderBy(F.col("score").desc()).limit(k).collect()
-        if len(theta_rows) < k:
-            theta = float("-inf")  # not enough candidates to bound — no pruning
-        else:
-            theta = float(theta_rows[-1]["score"])
-        if theta == float("-inf"):
+        gm_part = meta.groupBy("term").agg(F.max("bmax").alias("value")).select(
+            F.lit("gm").alias("tag"), "term", "value"
+        )
+        theta_part = (
+            phase1.orderBy(F.col("score").desc())
+            .limit(k)
+            .select(
+                F.lit("theta").alias("tag"),
+                F.lit(None).cast("string").alias("term"),
+                F.col("score").alias("value"),
+            )
+        )
+        tagged = gm_part.unionByName(theta_part).collect()
+        global_max = {r["term"]: float(r["value"]) for r in tagged if r["tag"] == "gm"}
+        if not global_max:
             return full()
+        thetas = sorted(
+            (float(r["value"]) for r in tagged if r["tag"] == "theta"), reverse=True
+        )
+        if len(thetas) < k:
+            return full()  # not enough candidates to bound — no pruning
+        theta = thetas[k - 1]
 
         # phase 2: survivor selection as a broadcast-joined FILTER on the
         # metadata scan (slack clamps at 0: a doc missing term t'
@@ -369,6 +422,7 @@ class CompressedIndex:
             .collect()
         )
         kept = sum(int(r["kept"] or 0) for r in stats_rows)
+        total_blocks = sum(int(r["total"] or 0) for r in stats_rows)
         slack_all = sum(
             max(float(r["pm"]), 0.0) for r in stats_rows if r["pm"] is not None
         )
@@ -439,23 +493,29 @@ class CompressedIndex:
             return full()
         fin_ids = [int(r["doc_int"]) for r in fin_rows]
         fin_arr = np.array(sorted(fin_ids), dtype=np.int64)
-        # decode only blocks whose [first_doc, last_doc] range contains a
-        # finalist (searchsorted membership test — column-pruned metadata),
-        # restricted to finalist docs, for EXACT scores
         fin_df = _local_df(self.spark, [(int(d),) for d in fin_arr], "doc_int long")
-
-        @F.pandas_udf(BooleanType())
-        def touches(first: pd.Series, last: pd.Series) -> pd.Series:
-            lo = np.searchsorted(fin_arr, first.to_numpy(dtype=np.int64), side="left")
-            hi = np.searchsorted(fin_arr, last.to_numpy(dtype=np.int64), side="right")
-            return pd.Series(hi > lo)
-
-        touching = self._blocks_for_terms(terms).filter(
-            touches(F.col("first_doc"), F.col("last_doc"))
+        # exact rescore: decode only blocks whose [first_doc, last_doc]
+        # range contains a finalist, restricted to finalist docs. The
+        # coarse range test runs JVM-side as a whole-stage-codegen bucket
+        # prefilter (doc-id span sliced into <= 4096 buckets, InSet lookup
+        # on the block's end buckets; blocks spanning >= 3 buckets are
+        # conservatively kept); the EXACT searchsorted membership test
+        # rides inside the decode UDF itself — never as a separate
+        # pandas-UDF filter stage, which would chain two python runners in
+        # one task (measured ~5-6s/action penalty, see _decode_score_udf).
+        lo_d, hi_d = int(fin_arr[0]), int(fin_arr[-1])
+        bshift = 7  # >= one 128-doc block per bucket
+        while ((hi_d >> bshift) - (lo_d >> bshift)) > 4096:
+            bshift += 1
+        buckets = sorted({int(d) >> bshift for d in fin_ids})
+        fb = F.shiftright(F.col("first_doc"), bshift)
+        lb = F.shiftright(F.col("last_doc"), bshift)
+        prefilter = (
+            (F.col("last_doc") >= F.lit(lo_d))
+            & (F.col("first_doc") <= F.lit(hi_d))
+            & ((lb - fb >= F.lit(2)) | fb.isin(buckets) | lb.isin(buckets))
         )
-        rescored = self._decode_blocks(touching, qtf).join(F.broadcast(fin_df), "doc_int")
-        exact = rescored.groupBy("doc_int").agg(
-            (F.sum("contrib") * F.first("weight")).alias("score")
-        )
+        touching = self._blocks_for_terms(terms).filter(prefilter)
+        exact = self._agg_scores(self._decode_blocks(touching, qtf, fin_arr=fin_arr))
         non_final = partial.join(F.broadcast(fin_df), "doc_int", "left_anti")
         return exact.unionByName(non_final)

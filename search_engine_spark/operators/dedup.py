@@ -91,9 +91,12 @@ def minhash_signatures(
     md5(term || '#' || h) hex over the doc's distinct terms —
     engine-portable (the DuckDB oracle computes the very same strings).
     hash_fn='xxhash64': min of the seeded 64-bit integer hash — the SCALE
-    path (~an order of magnitude cheaper: no hex-string materialization or
-    string comparisons in the min-agg; same statistical guarantees, not
-    cross-engine portable).
+    path and the documented default for non-oracle use: no hex-string
+    materialization or string comparisons in the min-agg. Measured 3.6x
+    faster at the isolated signature stage (tools/bench_minhash_stage.py,
+    50k docs / 2000-term vocab / 108M hash evals: median 2.36s vs 8.56s;
+    BENCH.md "MinHash signature stage"). Same statistical guarantees, not
+    cross-engine portable — the driver oracle entries keep md5.
     """
     terms = doc_terms(docs, cfg, doc_col, text_col)
     return minhash_signatures_from_terms(terms, num_hashes, hash_fn)

@@ -159,6 +159,86 @@ def synth_pages_df(spark: SparkSession, n_pages: int, partitions: int | None = N
     return spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
 
 
+# ------------------------------------------------ skewed (web-realistic) pages
+#
+# The base corpus above draws every doc iid, which makes per-block BM25
+# maxima FLAT (any 128 consecutive postings almost surely contain a
+# near-max-scoring doc), so block-max pruning can never discard a block —
+# the wrong instrument for measuring WAND. Real web corpora are not iid in
+# doc-id order: crawl order groups pages by site, and sites share doc
+# length, topical vocabulary, and spamminess. This variant reproduces that
+# structure deterministically:
+#
+# - pages belong to SITES of 512 contiguous page ids; urls sort by site,
+#   so the index's dense doc ids (and therefore posting blocks) inherit
+#   site locality;
+# - each site has a topic (a 32-term contiguous vocab slice), a lognormal
+#   doc-length multiplier, and a 2% chance of being a spam farm;
+# - normal pages draw ~60% of tokens from the site topic (per-term tf ~ 5)
+#   and the rest from the global Zipf tail (tf ~ 1);
+# - spam-farm pages repeat 8 focus terms of the topic ~37x each —
+#   tf-saturated BM25 maxima that drive theta.
+#
+# Result: posting blocks of off-topic sites carry low maxima and are
+# prunable once theta locks onto topical/spam blocks — the regime
+# block-max WAND exists for. Pure perf fixture: text is generated
+# directly (html is a thin wrapper; the byte-identity invariant is
+# exercised by the base corpus, not this one).
+
+SITE_PAGES = 512
+N_TOPIC_TERMS = 32
+SPAM_SITE_RATE = 0.02
+
+
+def _skewed_tokens(page_id: int) -> list[str]:
+    site = page_id // SITE_PAGES
+    srng = np.random.RandomState((SEED * 11_000_003 + site) % (2**31 - 1))
+    topic = int(srng.randint(0, VOCAB_SIZE // N_TOPIC_TERMS))
+    len_mult = float(np.exp(srng.normal(0.0, 0.8)))
+    is_spam = bool(srng.rand() < SPAM_SITE_RATE)
+    rng = np.random.RandomState((SEED * 13_000_003 + page_id) % (2**31 - 1))
+    base = topic * N_TOPIC_TERMS
+    topic_vocab = _VOCAB[base : base + N_TOPIC_TERMS]
+    if is_spam:
+        focus = topic_vocab[rng.choice(N_TOPIC_TERMS, size=8, replace=False)]
+        return list(focus[rng.randint(0, 8, size=300)])
+    length = max(20, int(rng.lognormal(mean=math.log(250.0 * len_mult), sigma=0.4)))
+    n_topic = int(length * 0.6)
+    words = list(topic_vocab[rng.randint(0, N_TOPIC_TERMS, size=n_topic)])
+    words += list(_VOCAB[rng.choice(VOCAB_SIZE, size=length - n_topic, p=_ZIPF_P)])
+    return words
+
+
+def gen_skewed_page_record(page_id: int) -> dict:
+    site = page_id // SITE_PAGES
+    url = f"https://site{site:06d}.example/{page_id:08d}.html"
+    body = " ".join(_skewed_tokens(page_id))
+    text = f"Synth skewed page {page_id} {body}"
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=page_id),
+        "html": f"<html><body><p>{text}</p></body></html>".encode("utf-8"),
+        "text": text,
+        "lang": "en",
+    }
+
+
+def synth_pages_skewed_df(
+    spark: SparkSession, n_pages: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed skewed-corpus generation (same schema as pages)."""
+    parts = partitions or min(64, max(4, n_pages // 2000))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_skewed_page_record(int(i)) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
+            yield out
+
+    return spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
 def synth_graph_edges(n_pages: int) -> tuple[list[dict], list[dict]]:
     """(nodes, edges) mirroring webpage_graph.json (FIXTURES.md §2).
 

@@ -29,10 +29,88 @@ def test_dispatch_html_and_txt():
     assert extract_any_py(b"whatever", "exe") == ""     # unsupported -> skipped
 
 
-def test_gated_formats_raise_without_libs():
-    if _pdf_reader() is None:
-        with pytest.raises(NotImplementedError):
-            extract_any_py(b"%PDF-1.4", "pdf")
+def _pdf_bytes(objs: list[bytes]) -> bytes:
+    """Assemble a valid single-xref PDF from 1-indexed object bodies."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _content_obj(stream: bytes, compress: bool = False) -> bytes:
+    if compress:
+        import zlib
+
+        data = zlib.compress(stream)
+        return (
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )
+    return f"<< /Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream"
+
+
+def _two_page_pdf() -> bytes:
+    page1 = (
+        b"BT /F1 12 Tf (Hello \\(world\\)) Tj [(Ki)-120(ng)] TJ (line2) ' "
+        b"(\\101\\102) Tj ET"
+    )
+    page2 = b"BT (second page) Tj <48657821> Tj <FEFF00480069> Tj ET"
+    return _pdf_bytes(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            _content_obj(page1),
+            b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            _content_obj(page2, compress=True),
+        ]
+    )
+
+
+def test_pdf_stdlib_kernel_end_to_end():
+    """The PDF kernel runs on REAL pdf bytes with no third-party library:
+    page-tree order, uncompressed + FlateDecode streams, Tj/TJ/' show
+    operators, literal escapes (nested parens, octal), hex and UTF-16BE
+    strings, whitespace collapse across the per-page space join."""
+    from search_engine_spark.functions.pdf_extract import extract_pdf_text_py
+
+    if _pdf_reader() is not None:
+        pytest.skip("pypdf installed: preferred branch shadows the stdlib kernel")
+    got = extract_pdf_text_py(_two_page_pdf())
+    # consecutive Tj shows concatenate with no separator (PyPDF2 1.x
+    # semantics); ' contributes the newline before line2, pages join on " "
+    assert got == "Hello (world)King line2AB second pageHex!Hi"
+    assert extract_any_py(_two_page_pdf(), "pdf") == got
+
+
+def test_pdf_kernel_no_catalog_and_garbage():
+    from search_engine_spark.functions.pdf_extract import extract_pdf_text_py
+
+    if _pdf_reader() is not None:
+        pytest.skip("pypdf installed: preferred branch shadows the stdlib kernel")
+    # damaged file: no catalog -> /Type /Page appearance order fallback
+    broken = _pdf_bytes(
+        [
+            b"<< /Type /Page /Contents 2 0 R >>",
+            _content_obj(b"BT (orphan page) Tj ET"),
+        ]
+    )
+    assert extract_pdf_text_py(broken) == "orphan page"
+    assert extract_pdf_text_py(b"not a pdf at all") == ""
+    assert extract_pdf_text_py(b"") == ""
+    assert extract_pdf_text_py(None) == ""
 
 
 def _docx_bytes(body_xml: str) -> bytes:
@@ -96,8 +174,16 @@ def test_docx_stdlib_kernel_end_to_end():
 
 def test_docx_through_spark_udf(spark):
     payload = _docx_bytes("<w:p><w:r><w:t>spark docx path</w:t></w:r></w:p>")
+    pdf = _pdf_bytes(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            _content_obj(b"BT (spark pdf path) Tj ET", compress=True),
+        ]
+    )
     df = spark.createDataFrame(
-        [(1, payload, "docx"), (2, b"plain", "txt")],
+        [(1, payload, "docx"), (2, b"plain", "txt"), (3, pdf, "pdf")],
         "doc_id long, payload binary, fmt string",
     )
     got = {
@@ -106,7 +192,7 @@ def test_docx_through_spark_udf(spark):
             "doc_id", extract_any_udf(F.col("payload"), F.col("fmt")).alias("text")
         ).collect()
     }
-    assert got == {1: "spark docx path", 2: "plain"}
+    assert got == {1: "spark docx path", 2: "plain", 3: "spark pdf path"}
 
 
 def test_dispatch_udf_on_spark(spark):
