@@ -375,21 +375,25 @@ def build_compressed_index(
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(doc_col).alias("doc_id"), F.col(text_col).alias("text"), weight
     )
-    # dense ids over the KEY column only — the id map is tiny relative to
-    # the documents (ids + longs), so the join back auto-broadcasts and the
-    # full text column never enters a shuffle; at scales past the broadcast
-    # threshold Catalyst falls back to a shuffle join on its own
+    # dense ids over the KEY column only, joined back as an EXPLICIT
+    # sort-merge join: the id map is doc-scale (one row per doc), and
+    # Catalyst's size estimate through the dense-id window is unreliable —
+    # at 2M docs the planner auto-broadcast the map and aborted with >1 GiB
+    # of serialized task results at the driver (maxResultSize). The merge
+    # hint keys the join on doc_id, so the full text column still never
+    # enters more than this one shuffle.
     ids = assign_dense_ids(base.select("doc_id"), cfg.index_partitions)
-    docs_int = base.join(ids, "doc_id")
+    docs_int = base.join(ids.hint("merge"), "doc_id")
     postings = tokenize_count_with_stats(docs_int, cfg, "text", "doc_weight").persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # doc stats (incl. zero-token docs) + corpus scalars
+    # doc stats (incl. zero-token docs) + corpus scalars; doc_lens is also
+    # doc-scale -> same explicit non-broadcast strategy
     doc_lens = postings.groupBy("doc_int").agg(F.first("doc_len").alias("dl"))
     doc_stats = (
         docs_int.select("doc_id", "doc_int", "doc_weight")
-        .join(doc_lens, "doc_int", "left")
+        .join(doc_lens.hint("merge"), "doc_int", "left")
         .select(
             "doc_id",
             "doc_int",

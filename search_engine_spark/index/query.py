@@ -308,8 +308,11 @@ class CompressedIndex:
     FINALIST_CAP = 200_000
     # blocks per term decoded for the theta estimate. More blocks -> tighter
     # theta -> fewer phase-2 survivors, at negligible phase-1 cost (the
-    # decode stays O(|terms| * THETA_BLOCKS) blocks).
-    THETA_BLOCKS = 4
+    # decode stays O(|terms| * THETA_BLOCKS) blocks). 8 is enough for the
+    # k-th best PARTIAL to reach multi-term-coverage level: with 4, docs
+    # covering all query terms can fall outside the decoded window and
+    # theta lands at single-term level (no pruning ever triggers).
+    THETA_BLOCKS = 8
 
     def _wand_scores(self, qtf: dict[str, int], k: int) -> DataFrame:
         """Block-max-pruned sparse scores, result-identical to full decode.

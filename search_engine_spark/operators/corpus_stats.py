@@ -256,10 +256,14 @@ def build_bm25_index(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     postings = scoring_postings.drop("doc_len", "doc_weight")
 
+    # doc_len is doc-scale: explicit sort-merge join (Catalyst's size
+    # estimate through the agg is unreliable and an auto-broadcast of a
+    # doc-scale side aborts on driver maxResultSize — seen at 2M docs on
+    # the compressed-build twin of this join, index/build.py)
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_stats = (
         base.select("doc_id", "doc_weight")
-        .join(doc_len, "doc_id", "left")
+        .join(doc_len.hint("merge"), "doc_id", "left")
         .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"), "doc_weight")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

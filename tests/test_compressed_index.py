@@ -142,3 +142,67 @@ def test_input_change_invalidates_manifest(spark, tiny_pages, tmp_path):
     m2 = build_compressed_index(sub2, path, CFG, doc_col="url", text_col="text")
     assert m2["input_digest"] != d1
     assert all(m2["stages"][s]["complete"] for s in ("doc_dim", "term_stats", "corpus", "postings"))
+
+
+def test_wand_identical_on_skewed_corpus_with_active_pruning(spark, tmp_path):
+    """The base corpus never prunes (iid docs -> flat block maxima), so the
+    suite's other WAND tests exercise the fallback path. The site-structured
+    skewed corpus prunes for real; assert (a) pruning is ACTIVE for a topic
+    query (kept < total surviving blocks) and (b) WAND stays result-identical
+    through the partial/finalist/rescore pipeline it uniquely exercises."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.sources.synth import synth_pages_skewed_df
+
+    from collections import Counter
+
+    from search_engine_spark.sources.synth import (
+        SITE_PAGES,
+        gen_skewed_page_record,
+        synth_pages_skewed_df,
+    )
+
+    cfg = EngineConfig(block_size=16, index_partitions=8)
+    path = str(tmp_path / "skewed_idx")
+    n_sites = 8
+    pages = synth_pages_skewed_df(spark, n_sites * SITE_PAGES)
+    build_compressed_index(pages, path, cfg, doc_col="url", text_col="text")
+    ci = CompressedIndex(spark, path, cfg)
+
+    # multi-term theta only approaches sum(per-term maxima) when ONE doc
+    # is near-max on every query term simultaneously — i.e. a tf-saturated
+    # spam page. Find the fixture's spam-farm site (its pages draw from 8
+    # focus terms, so distinct w-tokens <= 8) and query that page's top
+    # tokens; off-topic sites' tf~1 blocks then fall below theta - slack.
+    spam_page = None
+    for s in range(n_sites):
+        txt = gen_skewed_page_record(s * SITE_PAGES)["text"]
+        w = [t for t in txt.split() if t.startswith("w") and len(t) == 5]
+        if len(set(w)) <= 8:
+            spam_page = w
+            break
+    assert spam_page is not None, "seed-42 fixture: spam site within 8 sites"
+    # TWO terms: each spam page focuses 8 random terms of its topic's 32,
+    # so ~5% of the farm's pages cover any given pair at tf~37 — enough
+    # docs that theta(k=10) is a both-terms spam score, which prunes every
+    # tf~1 tail block. A 3-term query's theta would be a 2-of-3 score
+    # (too few pages focus all 3) and pruning would not trigger.
+    query = [t for t, _ in Counter(spam_page).most_common(2)]
+
+    # (a) pruning active: _wand_scores proceeds past every fallback (the
+    # fallback paths return before the survivor-partials cache is set)
+    ci._wand_scores(dict(Counter(query)), 10)
+    assert getattr(ci, "_wand_cache", None) is not None
+    ci._wand_cache.unpersist()
+    ci._wand_cache = None
+
+    # (b) result identity through the partial/finalist/rescore pipeline
+    full = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ci.search_topk(query, use_wand=False).orderBy("rank").collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ci.search_topk(query, use_wand=True).orderBy("rank").collect()
+    ]
+    assert full == wand and len(full) > 0

@@ -172,3 +172,40 @@ def test_head_keys(spark):
     )
     hot = [r["k"] for r in head_keys(df, "k", threshold=500).collect()]
     assert hot == ["hot"]
+
+
+# ------------------------------------------------ skewed (site-structured) corpus
+
+
+def test_skewed_corpus_deterministic_and_site_structured(spark):
+    """The WAND-regime fixture is a pure function of page_id (identical at
+    any parallelism) and actually carries the structure it promises:
+    contiguous-id sites sharing a topic vocabulary, and spam-farm sites
+    whose pages are tf-saturated repeats of few topic terms."""
+    from search_engine_spark.sources.synth import (
+        SITE_PAGES,
+        gen_skewed_page_record,
+        synth_pages_skewed_df,
+    )
+
+    a = synth_pages_skewed_df(spark, 1100, partitions=2).collect()
+    b = synth_pages_skewed_df(spark, 1100, partitions=7).collect()
+    assert sorted(r["url"] for r in a) == sorted(r["url"] for r in b)
+    ta = {r["url"]: r["text"] for r in a}
+    tb = {r["url"]: r["text"] for r in b}
+    assert ta == tb  # partitioning-independent
+    # local record function agrees with the distributed one
+    rec = gen_skewed_page_record(17)
+    assert ta[rec["url"]] == rec["text"]
+    # urls sort by site, sites are SITE_PAGES contiguous ids
+    assert rec["url"].startswith(f"https://site{17 // SITE_PAGES:06d}.example/")
+    # same-site pages share a topic vocabulary: the w-token sets of two
+    # pages of one site overlap far more than pages of different sites
+    def wtoks(pid):
+        return {t for t in gen_skewed_page_record(pid)["text"].split() if t.startswith("w") and len(t) == 5}
+
+    same = len(wtoks(0) & wtoks(1))
+    cross = max(
+        len(wtoks(0) & wtoks(SITE_PAGES * s + 1)) for s in (1, 2)
+    )
+    assert same > cross
