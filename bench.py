@@ -119,6 +119,21 @@ def main() -> None:
     )
     timed("dedup_simhash", lambda: simhash(docs).count())
     timed("embedding_topk", lambda: cosine_topk(emb, 0, 10).collect())
+
+    # IVF ANN: one-off quantizer build (persisted, centroid-partitioned
+    # lists) vs the partition-pruned probe that serves queries
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_by_id,
+    )
+
+    ipath = f"/tmp/bench_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(ipath, ignore_errors=True)
+    timed("ivf_build", lambda: build_ivf_index(emb, ipath, n_centroids=8, seed=42))
+    timed(
+        "ivf_probe",
+        lambda: ivf_probe_by_id(spark, ipath, 0, k=10, n_probe=2).collect(),
+    )
     timed("text_quality", lambda: quality_features(docs).count())
     timed("events_hourly", lambda: hourly_event_stats(events).count())
     timed("sessionize", lambda: sessionize(events).count())

@@ -62,8 +62,15 @@ _SCORE_SCHEMA = StructType(
     ]
 )
 _SCORE_SCHEMA_T = StructType(
-    _SCORE_SCHEMA.fields + [StructField("term", StringType())]
+    _SCORE_SCHEMA.fields + [StructField("tmask", LongType())]
 )
+
+
+def _str_double_map(d: dict[str, float]):
+    """Literal string->double map expression (driver scalars, no join)."""
+    return F.create_map(
+        *[x for t, v in sorted(d.items()) for x in (F.lit(t), F.lit(float(v)))]
+    )
 
 
 class CompressedIndex:
@@ -148,13 +155,17 @@ class CompressedIndex:
         fin_arr: np.ndarray | None = None,
     ):
         """mapInPandas: encoded blocks -> (doc_int, contrib, weight
-        [, term]).
+        [, tmask]).
 
         Closes over plain scalars only (never ``self`` — it holds the
         SparkSession and is not serializable to workers). ``idfs`` rides in
         the closure (<= |q| entries) instead of a per-query broadcast join
-        against term_stats. ``with_term`` additionally emits the term per
-        row so WAND can track which terms a doc's partial already covers.
+        against term_stats. ``with_term`` additionally emits ``tmask``, a
+        one-hot int64 bit per query term (bit i = i-th term in sorted
+        order), so WAND can track which terms a doc's partial covers with
+        a plain LongType column — a per-row term STRING plus a downstream
+        collect_set was measured 1.8x slower end-to-end at 2M docs (Arrow
+        string transfer + ObjectHashAggregate vs codegen bit_or).
         ``fin_arr`` (sorted int64) restricts output to those doc ids: a
         block whose [first_doc, last_doc] range contains no finalist is
         skipped before decoding, and decoded rows are searchsorted-filtered
@@ -166,6 +177,7 @@ class CompressedIndex:
         k1, b, avgdl = self.k1, self.b, self.avgdl
         qtf = dict(qtf)
         idfs = dict(idfs)
+        tbit = {t: 1 << i for i, t in enumerate(sorted(qtf))}
 
         def run(batches):
             for pdf in batches:
@@ -201,7 +213,9 @@ class CompressedIndex:
                     )
                     cols = {"doc_int": docs, "contrib": contrib, "weight": wts}
                     if with_term:
-                        cols["term"] = row.term
+                        cols["tmask"] = np.full(
+                            len(docs), tbit.get(row.term, 0), dtype=np.int64
+                        )
                     outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
@@ -344,83 +358,97 @@ class CompressedIndex:
         if any(v < 0 for v in idfs.values()):
             return full()
 
-        qtf_df = _local_df(
-            self.spark, [(t, float(c)) for t, c in sorted(qtf.items())], "term string, qmult double"
+        from functools import reduce
+        from operator import or_
+
+        qmult = {t: float(c) for t, c in qtf.items()}
+        # phase 1a (metadata-ONLY action, no python stage, payload columns
+        # never read): per-term top-THETA_BLOCKS block keys + maxima via an
+        # in-plan row_number window; THETA_BLOCKS * |terms| rows collected.
+        # gm(t) is simply the rn=1 row's bmax.
+        meta = self._blocks_for_terms(terms).select(
+            "term",
+            "part_id",
+            "block_id",
+            (F.col("max_score") * F.element_at(_str_double_map(qmult), F.col("term"))).alias(
+                "bmax"
+            ),
         )
-        meta = (
-            self._blocks_for_terms(terms)
-            .select("term", "part_id", "block_id", "max_score")
-            .join(F.broadcast(qtf_df), "term")
-            .select(
-                "term", "part_id", "block_id",
-                (F.col("max_score") * F.col("qmult")).alias("bmax"),
-            )
-        )
-        # phase 1 (ONE action): per-term global maxima AND the theta
-        # estimate, tag-unioned into a single |terms|+k row collect. Best
-        # blocks are selected IN-PLAN (row_number over the metadata scan),
-        # so no metadata round-trip precedes the theta decode; partial doc
-        # scores over each term's top THETA_BLOCKS blocks are lower bounds
-        # of true scores, so the k-th largest is a valid theta.
         w = Window.partitionBy("term").orderBy(
             F.col("bmax").desc(), F.col("part_id").asc(), F.col("block_id").asc()
         )
-        best_ids = (
+        best_rows = (
             meta.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= self.THETA_BLOCKS)
-            .select("term", "part_id", "block_id")
+            .collect()
+        )
+        if not best_rows:
+            return full()
+        global_max = {
+            r["term"]: float(r["bmax"]) for r in best_rows if int(r["rn"]) == 1
+        }
+
+        # phase 1b (theta): decode ONLY the best blocks. The block keys are
+        # driver literals, so the scan filter is a PUSHED disjunction of
+        # per-key conjunctions (parquet row-group pruning applies) — a
+        # broadcast join against an in-plan window output would instead
+        # read every payload row group of the query terms' lists.
+        key_pred = reduce(
+            or_,
+            [
+                (F.col("term") == r["term"])
+                & (F.col("part_id") == int(r["part_id"]))
+                & (F.col("block_id") == int(r["block_id"]))
+                for r in best_rows
+            ],
         )
         phase1 = self._agg_scores(
-            self._decode_blocks(
-                self._blocks_for_terms(terms).join(
-                    F.broadcast(best_ids), ["term", "part_id", "block_id"]
-                ),
-                qtf,
-            )
+            self._decode_blocks(self._blocks_for_terms(terms).filter(key_pred), qtf)
         )
-        gm_part = meta.groupBy("term").agg(F.max("bmax").alias("value")).select(
-            F.lit("gm").alias("tag"), "term", "value"
-        )
-        theta_part = (
-            phase1.orderBy(F.col("score").desc())
-            .limit(k)
-            .select(
-                F.lit("theta").alias("tag"),
-                F.lit(None).cast("string").alias("term"),
-                F.col("score").alias("value"),
-            )
-        )
-        tagged = gm_part.unionByName(theta_part).collect()
-        global_max = {r["term"]: float(r["value"]) for r in tagged if r["tag"] == "gm"}
-        if not global_max:
-            return full()
-        thetas = sorted(
-            (float(r["value"]) for r in tagged if r["tag"] == "theta"), reverse=True
-        )
-        if len(thetas) < k:
+        theta_rows = phase1.orderBy(F.col("score").desc()).limit(k).collect()
+        if len(theta_rows) < k:
             return full()  # not enough candidates to bound — no pruning
-        theta = thetas[k - 1]
+        theta = float(theta_rows[-1]["score"])
 
-        # phase 2: survivor selection as a broadcast-joined FILTER on the
-        # metadata scan (slack clamps at 0: a doc missing term t'
-        # contributes 0, never less). Driver holds only |terms| slacks.
+        # phase 2: survivor selection (slack clamps at 0: a doc missing
+        # term t' contributes 0, never less). The per-term threshold is a
+        # DRIVER literal, so the survivor predicate both (a) evaluates in
+        # whole-stage codegen with no joins and (b) pushes to the parquet
+        # scan as per-term max_score range filters.
         sum_gm = sum(max(m, 0.0) for m in global_max.values())
-        slack_df = _local_df(
-            self.spark,
-            [(t, sum_gm - max(global_max[t], 0.0)) for t in sorted(global_max)],
-            "term string, slack double",
+        thr = {
+            t: (theta - (sum_gm - max(global_max[t], 0.0))) / qmult[t]
+            for t in global_max
+        }
+        surv_pred = reduce(
+            or_,
+            [
+                (F.col("term") == t) & (F.col("max_score") >= F.lit(c))
+                for t, c in sorted(thr.items())
+            ],
         )
-        survives = F.col("bmax") + F.col("slack") >= F.lit(theta)
         # ONE metadata agg job -> |terms| rows: kept/total block counts AND
         # the per-term pruned maxima phase 3 needs (they depend only on
         # theta, not on theta_k — folding them here saves a driver round).
+        thr_map = _str_double_map(thr)
         stats_rows = (
-            meta.join(F.broadcast(slack_df), "term")
+            self._blocks_for_terms(terms)
+            .select("term", "max_score")
             .groupBy("term")
             .agg(
                 F.count(F.lit(1)).alias("total"),
-                F.sum(F.when(survives, 1).otherwise(0)).alias("kept"),
-                F.max(F.when(~survives, F.col("bmax"))).alias("pm"),
+                F.sum(
+                    F.when(
+                        F.col("max_score") >= F.element_at(thr_map, F.col("term")), 1
+                    ).otherwise(0)
+                ).alias("kept"),
+                F.max(
+                    F.when(
+                        F.col("max_score") < F.element_at(thr_map, F.col("term")),
+                        F.col("max_score")
+                        * F.element_at(_str_double_map(qmult), F.col("term")),
+                    )
+                ).alias("pm"),
             )
             .collect()
         )
@@ -432,26 +460,27 @@ class CompressedIndex:
         if kept == 0 or kept == total_blocks:
             return full()
 
-        surv_blocks = (
-            self._blocks_for_terms(terms)
-            .join(F.broadcast(qtf_df), "term")
-            .join(F.broadcast(slack_df), "term")
-            .filter(F.col("max_score") * F.col("qmult") + F.col("slack") >= F.lit(theta))
-            .drop("qmult", "slack")
-        )
-        # term-aware partials: collect_set(term) tracks which terms each
-        # doc's partial already covers exactly (a doc appears in exactly
-        # ONE block per posting list, so a surviving term's contribution
-        # is never partial — it is exact or absent).
-        partial_t = (
-            self._decode_blocks(surv_blocks, qtf, with_term=True)
-            .groupBy("doc_int")
-            .agg(
-                (F.sum("contrib") * F.first("weight")).alias("score"),
-                F.collect_set("term").alias("terms_present"),
+        surv_blocks = self._blocks_for_terms(terms).filter(surv_pred)
+        # term-aware partials: bit_or of the decode's one-hot term masks
+        # tracks which terms each doc's partial already covers exactly (a
+        # doc appears in exactly ONE block per posting list, so a surviving
+        # term's contribution is never partial — it is exact or absent).
+        # bit_or keeps the aggregate in codegen (collect_set forced an
+        # ObjectHashAggregate, 1.8x slower at 2M docs). Queries wider than
+        # 63 terms fall back to the blanket bound (mask would overflow).
+        with_mask = len(terms) <= 63
+        decoded = self._decode_blocks(surv_blocks, qtf, with_term=with_mask)
+        if with_mask:
+            partial_t = (
+                decoded.groupBy("doc_int")
+                .agg(
+                    (F.sum("contrib") * F.first("weight")).alias("score"),
+                    F.bit_or("tmask").alias("tmask"),
+                )
+                .cache()
             )
-            .cache()
-        )
+        else:
+            partial_t = self._agg_scores(decoded).cache()
         partial = partial_t.select("doc_int", "score")
         self._wand_cache = partial_t  # released by search_topk after collect
 
@@ -469,14 +498,17 @@ class CompressedIndex:
             for r in stats_rows
             if r["pm"] is not None
         }
-        if pm_map:
-            pm_lit = F.create_map(
-                *[x for t, v in sorted(pm_map.items()) for x in (F.lit(t), F.lit(v))]
-            )
-            present_pruned = F.aggregate(
-                F.col("terms_present"),
-                F.lit(0.0),
-                lambda acc, t: acc + F.coalesce(F.element_at(pm_lit, t), F.lit(0.0)),
+        if pm_map and with_mask:
+            tbit = {t: i for i, t in enumerate(terms)}
+            present_pruned = reduce(
+                lambda a, b: a + b,
+                [
+                    F.when(
+                        F.shiftright(F.col("tmask"), tbit[t]).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(v),
+                    ).otherwise(F.lit(0.0))
+                    for t, v in sorted(pm_map.items())
+                ],
             )
             doc_slack = F.lit(slack_all) - present_pruned
         else:

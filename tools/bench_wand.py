@@ -88,9 +88,12 @@ def main() -> None:
         t0 = time.time()
         r_wand = ci.search_topk(toks, top_k=10, use_wand=True).collect()
         tw = time.time() - t0
-        assert [tuple(r) for r in r_plain] == [tuple(r) for r in r_wand], (
-            f"WAND != full decode for {q!r}"
-        )
+        # doc identity + rank exact; scores to 1e-9 (float64 partial-sum
+        # tree order differs between the full-decode and rescore aggs ->
+        # last-ULP differences, seen at 2M docs)
+        assert [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in r_plain] == [
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in r_wand
+        ], f"WAND != full decode for {q!r}"
         plain.append(tp)
         wand.append(tw)
         per_q[q] = {"plain": round(tp, 3), "wand": round(tw, 3)}
