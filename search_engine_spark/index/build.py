@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -83,10 +84,23 @@ def input_snapshot_digest(docs: DataFrame, doc_col: str, text_col: str) -> str:
     return f"{row['n']}:{row['h']}"
 
 
-def assign_dense_ids(df: DataFrame, partitions: int, id_col: str = "doc_id") -> DataFrame:
+def assign_dense_ids(
+    df: DataFrame,
+    partitions: int,
+    id_col: str = "doc_id",
+    handles: list | None = None,
+) -> DataFrame:
     """input columns + ``doc_int`` dense 0..N-1 in id order — distributed
     zipWithIndex (range partition -> per-partition row_number + driver-side
-    offsets; never a global single-partition window)."""
+    offsets; never a global single-partition window).
+
+    Pass the FULL table (not just the key column): one range shuffle of the
+    payload here replaces the key-only shuffle PLUS the sort-merge join-back
+    that a separate id map would need — the join-back was the build's second
+    full-text shuffle (and at 2M docs Catalyst once auto-broadcast the
+    doc-scale map and aborted on driver maxResultSize). ``handles`` (if
+    given) receives the internal persisted relation so the caller can
+    unpersist it after the last downstream action."""
     parts = (
         df.repartitionByRange(partitions, id_col)
         .sortWithinPartitions(id_col)
@@ -95,6 +109,8 @@ def assign_dense_ids(df: DataFrame, partitions: int, id_col: str = "doc_id") -> 
     from pyspark import StorageLevel
 
     parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.append(parts)
     counts = {r["pid"]: r["cnt"] for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -287,45 +303,36 @@ def tokenize_count_with_stats(
     """(doc_int, term, tf, doc_len, doc_weight) in ONE Arrow pass — no
     posting-level join anywhere: doc_len (post-filter token count) and the
     doc weight ride along with every posting, so the encode stage needs
-    only a broadcast of per-term idf. Python ``re`` tokenization ==
-    reference semantics exactly."""
-    import re as _re
+    only a broadcast of per-term idf. Tokenization + counting run through
+    the vectorized ``count_terms_arrays`` kernel (reference semantics
+    exactly; all per-token work in C)."""
+    from search_engine_spark.functions.tokenize import count_terms_arrays
 
     stop = cfg.stopwords
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
-        punct = _re.compile(r"[^\w\s]")
         for pdf in batches:
-            ids, terms, dls, wts = [], [], [], []
-            for did, text, w in zip(pdf["doc_int"], pdf[text_col], pdf[weight_col]):
-                toks = [
-                    t
-                    for t in punct.sub(" ", (text or "").lower()).split()
-                    if len(t) > 1 and t not in stop
-                ]
-                dl = len(toks)
-                for t in toks:
-                    ids.append(did)
-                    terms.append(t)
-                    dls.append(dl)
-                    wts.append(w)
-            if not ids:
+            rows, terms, tf, doc_len = count_terms_arrays(pdf[text_col], stop)
+            if len(rows) == 0:
                 continue
-            g = (
-                pd.DataFrame(
-                    {"doc_int": ids, "term": terms, "doc_len": dls, "doc_weight": wts}
-                )
-                .groupby(["doc_int", "term"], sort=False)
-                .agg(tf=("doc_len", "size"), doc_len=("doc_len", "first"), doc_weight=("doc_weight", "first"))
-                .reset_index()
+            yield pd.DataFrame(
+                {
+                    "doc_int": pdf["doc_int"].to_numpy()[rows],
+                    "term": terms,
+                    "tf": tf.astype("int32"),
+                    "doc_len": doc_len[rows].astype("int32"),
+                    "doc_weight": pdf[weight_col].to_numpy(dtype=np.float64)[rows],
+                }
             )
-            g["tf"] = g["tf"].astype("int32")
-            yield g[["doc_int", "term", "tf", "doc_len", "doc_weight"]]
 
+    # doc_len as int32: a per-doc token count always fits, and the posting
+    # relation is shuffled + Arrow-piped at posting scale — 4 bytes/row saved
+    # is ~160 MB per 40M postings
     return docs_int.select("doc_int", text_col, weight_col).mapInPandas(
-        run, "doc_int long, term string, tf int, doc_len long, doc_weight double"
+        run, "doc_int long, term string, tf int, doc_len int, doc_weight double"
     )
 
 
@@ -343,14 +350,22 @@ def build_compressed_index(
     SAME input snapshot digest are skipped — resumable builds.
 
     Dataflow (shuffle inventory — every shuffle justified):
-      1. dense-id assignment: ONE doc-level range shuffle (rows = docs)
-      2. postings: mapInPandas, partition-local (rows = postings, NO shuffle)
+      1. dense-id assignment: ONE doc-level range shuffle of the full doc
+         table (rows = docs) — ids are assigned in place, so the text
+         column crosses exactly one exchange and there is NO join-back
+      2. postings: mapInPandas, partition-local (rows = postings, NO
+         shuffle), written to a parquet staging table: three downstream
+         jobs (df/idf, doc_stats, encode) re-read a column-pruned snappy
+         file instead of rebuilding/holding a 40M-row columnar cache
       3. df/idf + corpus scalars: groupBy(term)/agg with map-side partial
          aggregation (shuffled rows ~ |V| x partitions, tiny)
       4. doc_stats: doc-level join on doc_int (rows = docs)
       5. encode: ONE posting-level range shuffle on (term, doc_int) — the
          irreducible one that gives the index its global term-sorted order
-         (head terms span partitions; parquet min/max prunes queries)
+         (head terms span partitions; parquet min/max prunes queries).
+         The per-term idf is broadcast-joined AFTER the exchange: joining
+         before it shuffles 8 extra bytes/posting for nothing (measured
+         6.6 s of 32 s at 40M postings, local[4])
     """
     spark = docs.sparkSession
     digest = input_snapshot_digest(docs, doc_col, text_col)
@@ -360,6 +375,7 @@ def build_compressed_index(
     stages = manifest["stages"]
     all_stages = ("doc_dim", "term_stats", "corpus", "postings")
     if all(s in stages and stages[s].get("complete") for s in all_stages):
+        _cleanup_staging(path, stages)
         return manifest  # fully built for this input snapshot — nothing to do
 
     from pyspark import StorageLevel
@@ -375,18 +391,28 @@ def build_compressed_index(
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(doc_col).alias("doc_id"), F.col(text_col).alias("text"), weight
     )
-    # dense ids over the KEY column only, joined back as an EXPLICIT
-    # sort-merge join: the id map is doc-scale (one row per doc), and
-    # Catalyst's size estimate through the dense-id window is unreliable —
-    # at 2M docs the planner auto-broadcast the map and aborted with >1 GiB
-    # of serialized task results at the driver (maxResultSize). The merge
-    # hint keys the join on doc_id, so the full text column still never
-    # enters more than this one shuffle.
-    ids = assign_dense_ids(base.select("doc_id"), cfg.index_partitions)
-    docs_int = base.join(ids.hint("merge"), "doc_id")
-    postings = tokenize_count_with_stats(docs_int, cfg, "text", "doc_weight").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # dense ids assigned IN PLACE on the full doc table: one range shuffle
+    # of the text column total, no join-back (see assign_dense_ids — the
+    # previous key-only map + sort-merge join-back cost a second full-text
+    # exchange+sort and once auto-broadcast-aborted at 2M docs)
+    cache_handles: list = []
+    docs_int = assign_dense_ids(base, cfg.index_partitions, handles=cache_handles)
+
+    # postings staging table: tokenize once, spill to snappy parquet; the
+    # three downstream jobs (doc_stats, df/idf, encode) each re-read a
+    # column-pruned scan — cheaper to build and to re-read than a 40M-row
+    # in-memory columnar cache (measured 25 s vs 29 s build, 1.5 s vs 2.0 s
+    # per downstream scan at 40M postings, local[4]), and it IS the
+    # checkpoint the 100 TB deployment needs anyway (executor loss replays
+    # a file scan, not the tokenize UDF).
+    staging_dir = os.path.join(path, "_staging_postings")
+    if not (stage_done("staging") and os.path.isdir(staging_dir)):
+        t0 = time.time()
+        tokenize_count_with_stats(docs_int, cfg, "text", "doc_weight").write.mode(
+            "overwrite"
+        ).parquet(staging_dir)
+        record("staging", t0)
+    postings = spark.read.parquet(staging_dir)
 
     # doc stats (incl. zero-token docs) + corpus scalars; doc_lens is also
     # doc-scale -> same explicit non-broadcast strategy
@@ -449,11 +475,14 @@ def build_compressed_index(
 
     if not stage_done("postings"):
         t0 = time.time()
-        enriched = postings.join(F.broadcast(term_stats.select("term", "idf")), "term").select(
-            "term", "doc_int", "tf", "doc_len", "doc_weight", "idf"
-        )
+        # idf joins AFTER the range exchange: broadcast hash joins preserve
+        # the child's partitioning, and shuffling idf with every posting
+        # costs 8 bytes/row of pure exchange IO (measured 6.6 s at 40M
+        # postings, local[4])
         sorted_parts = (
-            enriched.repartitionByRange(cfg.index_partitions, "term", "doc_int")
+            postings.repartitionByRange(cfg.index_partitions, "term", "doc_int")
+            .join(F.broadcast(term_stats.select("term", "idf")), "term")
+            .select("term", "doc_int", "tf", "doc_len", "doc_weight", "idf")
             .sortWithinPartitions("term", "doc_int")
             .withColumn("pid", F.spark_partition_id())
         )
@@ -496,10 +525,23 @@ def build_compressed_index(
             files=len(files),
         )
 
-    postings.unpersist()
     doc_stats.unpersist()
     raw.unpersist()
+    for h in cache_handles:
+        h.unpersist()
+    _cleanup_staging(path, stages)
     return manifest
+
+
+def _cleanup_staging(path: str, stages: dict) -> None:
+    """Drop the postings staging table once every stage that reads it is
+    complete (kept until then so a killed build resumes from the staging
+    scan instead of re-tokenizing)."""
+    if all(
+        s in stages and stages[s].get("complete")
+        for s in ("doc_dim", "term_stats", "corpus", "postings")
+    ):
+        shutil.rmtree(os.path.join(path, "_staging_postings"), ignore_errors=True)
 
 
 def _cfg_dict(cfg: EngineConfig) -> dict:

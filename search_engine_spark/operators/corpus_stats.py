@@ -168,10 +168,10 @@ def build_postings_local(
     All tokens of a document live in its own row, so per-doc term frequency
     is a partition-LOCAL computation; shuffling 10^10 exploded token rows by
     (doc_id, term) — what the naive explode->groupBy plan does — is pure
-    waste. One Arrow pass per partition: Python ``re`` tokenization
-    (bit-identical to the reference tokenizer, no JVM-regex dialect
-    concerns), then a single C-speed pandas groupby over the batch's
-    (row, term) pairs. Output rows are already distinct on (doc_id, term).
+    waste. One Arrow pass per partition through the vectorized
+    ``count_terms_arrays`` kernel (reference-identical tokenizer semantics,
+    all per-token work in C). Output rows are already distinct on
+    (doc_id, term).
 
     With ``weight_col`` set the output is DENORMALIZED to
     (doc_id, term, tf, doc_len, doc_weight): doc_len is the same
@@ -180,7 +180,7 @@ def build_postings_local(
     serving relation BM25Index.scoring_postings — queries score without a
     doc_stats join.
     """
-    import re as _re
+    from search_engine_spark.functions.tokenize import count_terms_arrays
 
     stop = cfg.stopwords
     out_schema = (
@@ -190,35 +190,23 @@ def build_postings_local(
         out_schema += ", doc_len long, doc_weight double"
 
     def count_terms(batches):
+        import numpy as np
         import pandas as pd
 
-        punct = _re.compile(r"[^\w\s]")
         for pdf in batches:
-            ids: list = []
-            terms: list[str] = []
-            weights: dict = (
-                dict(zip(pdf[doc_col], pdf[weight_col].astype("float64")))
-                if weight_col is not None
-                else {}
-            )
-            for did, text in zip(pdf[doc_col], pdf[text_col]):
-                toks = punct.sub(" ", (text or "").lower()).split()
-                for t in toks:
-                    if len(t) > 1 and t not in stop:
-                        ids.append(did)
-                        terms.append(t)
-            if not ids:
+            rows, terms, tf, doc_len = count_terms_arrays(pdf[text_col], stop)
+            if len(rows) == 0:
                 continue
-            g = (
-                pd.DataFrame({"doc_id": ids, "term": terms})
-                .groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            g = pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_col].to_numpy()[rows],
+                    "term": terms,
+                    "tf": tf.astype("int32"),
+                }
             )
-            g["tf"] = g["tf"].astype("int32")
             if weight_col is not None:
-                g["doc_len"] = g.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int64")
-                g["doc_weight"] = g["doc_id"].map(weights).astype("float64")
+                g["doc_len"] = doc_len[rows]
+                g["doc_weight"] = pdf[weight_col].to_numpy(dtype=np.float64)[rows]
             yield g
 
     cols = [doc_col, text_col] + ([weight_col] if weight_col is not None else [])
