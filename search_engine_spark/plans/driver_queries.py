@@ -299,10 +299,47 @@ def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15/W3: extractive summaries (rows-only; per-doc numpy TF-IDF)."""
+    """A15/W3: extractive summaries, DuckDB-oracled end to end.
+
+    The sf documents are single-sentence (no ``[.!?]+\\s+[A-Z]`` split
+    points), which would reduce the operator to its verbatim short-circuit.
+    Instead, 3-sentence documents are constructed deterministically —
+    groups of 3 consecutive docs, each text capitalized and joined with
+    '. ' — so the REAL pipeline runs: sentence split, preprocessing,
+    per-doc TF-IDF (sklearn TfidfVectorizer semantics), similarity
+    row-sums, the reference's larger-index-first tie order, and positional
+    re-ordering (reference service/text_summarizer.py:56-127). The oracle
+    SQL mirrors the construction and the full TF-IDF selection
+    arithmetic; summaries are compared as exact strings."""
     from search_engine_spark.operators.summarize import summarize_docs
 
-    return summarize_docs(_docs(spark, sf_dir).limit(50), num_sentences=2)
+    sent = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 150) & F.col("text").rlike("^[a-z][a-z0-9 ]*$"))
+        .select(
+            F.expr("doc_id DIV 3").alias("g"),
+            F.expr("CAST(doc_id % 3 AS INT)").alias("idx"),
+            F.concat(
+                F.upper(F.substring("text", 1, 1)), F.expr("substring(text, 2)")
+            ).alias("sentence"),
+        )
+    )
+    grouped = (
+        sent.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                ". ",
+            ).alias("text"),
+        )
+        .filter(F.col("c") == 3)
+        .select(F.col("g").alias("doc_id"), "text")
+    )
+    return summarize_docs(grouped, num_sentences=2)
 
 
 BATCH_QUERIES = [
@@ -808,6 +845,65 @@ ranked AS (
   FROM scored WHERE sim >= 80.0
 )
 SELECT qterm, term, sim FROM ranked WHERE rn <= 3"""
+
+    # A15/W3 summarize: 3-sentence docs constructed from consecutive sf
+    # docs; full TfidfVectorizer-semantics selection (smooth idf ln((1+n)/
+    # (1+df))+1 with n=3 sentences, l2 row norm, similarity row-sum via the
+    # column-sum identity sum_j(m_i . m_j) = m_i . colsum, score/max
+    # normalization, reference tie order score DESC then index DESC, top-2
+    # re-ordered by position). Summaries compare as exact strings.
+    sqls["summarize"] = f"""WITH plain AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 150 AND regexp_full_match(text, '[a-z][a-z0-9 ]*')
+),
+sent AS (
+  SELECT CAST(doc_id // 3 AS BIGINT) AS g, CAST(doc_id % 3 AS INT) AS idx,
+         upper(substr(text, 1, 1)) || substr(text, 2) AS sentence
+  FROM plain
+),
+grp AS (SELECT g FROM sent GROUP BY g HAVING count(*) = 3),
+stok AS (
+  SELECT s.g, s.idx,
+         unnest(regexp_extract_all(
+           array_to_string(list_filter(
+             string_split_regex(trim(regexp_replace(regexp_replace(lower(s.sentence), '[^\\w\\s.]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+             w -> w <> '' AND w NOT IN ({_sql_stoplist()})), ' '),
+           '\\b\\w\\w+\\b')) AS term
+  FROM sent s JOIN grp USING (g)
+),
+tf AS (SELECT g, idx, term, count(*)::DOUBLE AS tf FROM stok GROUP BY g, idx, term),
+df AS (SELECT g, term, count(*)::DOUBLE AS df FROM tf GROUP BY g, term),
+w AS (
+  SELECT t.g, t.idx, t.term, t.tf * (ln(4.0 / (1.0 + d.df)) + 1.0) AS w
+  FROM tf t JOIN df d USING (g, term)
+),
+nrm AS (SELECT g, idx, sqrt(sum(w * w)) AS nn FROM w GROUP BY g, idx),
+wn AS (
+  SELECT w.g, w.idx, w.term, w.w / (CASE WHEN n.nn = 0 THEN 1.0 ELSE n.nn END) AS wn
+  FROM w JOIN nrm n USING (g, idx)
+),
+colsum AS (SELECT g, term, sum(wn) AS s FROM wn GROUP BY g, term),
+rawscore AS (
+  SELECT wn.g, wn.idx, sum(wn.wn * c.s) AS score
+  FROM wn JOIN colsum c USING (g, term) GROUP BY wn.g, wn.idx
+),
+allscore AS (
+  SELECT s.g, s.idx, s.sentence, coalesce(r.score, 0.0) AS score
+  FROM sent s JOIN grp USING (g) LEFT JOIN rawscore r ON r.g = s.g AND r.idx = s.idx
+),
+norm2 AS (
+  SELECT g, idx, sentence,
+         CASE WHEN max(score) OVER (PARTITION BY g) <> 0
+              THEN score / max(score) OVER (PARTITION BY g) ELSE score END AS scr
+  FROM allscore
+),
+ranked AS (
+  SELECT g, idx, sentence,
+         row_number() OVER (PARTITION BY g ORDER BY scr DESC, idx DESC) AS rn
+  FROM norm2
+)
+SELECT g AS doc_id, string_agg(sentence, ' ' ORDER BY idx) AS summary
+FROM ranked WHERE rn <= 2 GROUP BY g"""
 
     bq_rows = []
     for qid, q in BATCH_QUERIES:
