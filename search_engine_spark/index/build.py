@@ -405,6 +405,10 @@ def build_compressed_index(
     # per downstream scan at 40M postings, local[4]), and it IS the
     # checkpoint the 100 TB deployment needs anyway (executor loss replays
     # a file scan, not the tokenize UDF).
+    # underscore prefix on purpose: Spark's file index skips _-prefixed
+    # children, so a read of the INDEX ROOT can never pick up staging rows.
+    # Writing under such a dir logs a benign "All paths were ignored"
+    # WARN during output-path resolution; direct reads of the dir work.
     staging_dir = os.path.join(path, "_staging_postings")
     if not (stage_done("staging") and os.path.isdir(staging_dir)):
         t0 = time.time()
