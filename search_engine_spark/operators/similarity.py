@@ -262,6 +262,54 @@ def ivf_topk(
     )
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) EXACT embedding-cosine near-duplicate pairs:
+    every unordered pair with cosine >= threshold, recall 1.0 by
+    construction — the exactness baseline the LSH paths are measured
+    against (``cosine_pairs_lsh_multi`` results are asserted to be a
+    subset of this in tests).
+
+    Shape: norms are computed ONCE per vector before pairing, then a
+    broadcast nested-loop self-join on ``vec_a < vec_b`` scores pairs with
+    a pure-Catalyst dot product (zip_with + aggregate, no Python). The
+    broadcast side is the slim (id, unit-work vector, norm) relation, so
+    this is O(n^2/partitions) compute with NO shuffle. That quadratic is
+    inherent to exact all-pairs — at 100-TB scale use the OR-amplified
+    sign-LSH path, which bounds candidates by bucket, and keep this as the
+    sampled-recall auditor.
+
+    The threshold is applied to the ROUNDED cosine (same in the DuckDB
+    oracle) so accumulation noise at the boundary can't flip membership.
+    """
+    row = embeddings.select(vec_col).first()
+    if row is None or row[0] is None:  # empty input: no pairs, stable schema
+        return _empty_pairs(embeddings, id_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm_col(F.col("v")))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("n").alias("an")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("n").alias("bn")
+    )
+    scored = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            dot_col(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+            round_to,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def cosine_pairs_lsh_multi(
     embeddings: DataFrame,
     n_tables: int = 4,

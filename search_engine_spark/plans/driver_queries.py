@@ -35,7 +35,7 @@ from search_engine_spark.operators.dedup import (
 )
 from search_engine_spark.operators.events import hourly_event_stats, sessionize
 from search_engine_spark.operators.scoring import search_topk
-from search_engine_spark.operators.similarity import cosine_topk
+from search_engine_spark.operators.similarity import cosine_dup_pairs, cosine_topk
 from search_engine_spark.operators.text_quality import (
     LANG_MARKERS,
     LANG_TRIGRAMS,
@@ -202,6 +202,15 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_by_id(
         spark, path, IVF_QUERY_ID, k=EMB_TOPK, n_probe=IVF_N_CENTROIDS
     )
+
+
+EMB_DUP_THRESHOLD = 0.35
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the recall-1.0 baseline the
+    sign-LSH scale paths are audited against; see similarity.py)."""
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=EMB_DUP_THRESHOLD)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +410,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "embedding_topk": q_embedding_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ivf_probe": q_ivf_probe,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -701,6 +711,15 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id <> {EMB_QUERY_ID}
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TOPK}""",
+        "embedding_dup_pairs": f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+      >= {EMB_DUP_THRESHOLD}""",
         # full-width probe == exact brute force, so the oracle is the same
         # cosine SQL as embedding_topk with the ivf query id
         "ivf_probe": f"""WITH q AS (

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from search_engine_spark.operators.similarity import (
+    cosine_dup_pairs,
     cosine_pairs_lsh,
     cosine_pairs_lsh_multi,
     cosine_topk,
@@ -86,6 +87,30 @@ def test_multi_table_recall_dominates_single(spark, emb):
     # and with 6 tables the recall must be high on tightly-clustered data
     assert len(truth) > 0
     assert len(multi) / len(truth) >= 0.9
+
+
+def test_cosine_dup_pairs_exact_vs_numpy(spark, emb):
+    """The exact path IS the truth set (recall 1.0 by construction), and
+    the LSH scale paths are subsets of it (no false positives)."""
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    truth = _true_pairs(rows, 0.9)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert exact == truth
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_lsh_multi(emb, n_tables=6, n_planes=8, threshold=0.9).collect()
+    }
+    assert lsh <= exact
+
+
+def test_cosine_dup_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = cosine_dup_pairs(df, threshold=0.5)
+    assert got.columns == ["vec_a", "vec_b", "cosine"]
+    assert got.count() == 0
 
 
 def test_multi_table_exact_duplicates_always_found(spark):
