@@ -51,6 +51,23 @@ def _pil_available() -> bool:
         return False
 
 
+def _decode_gray(b: bytes, use_fake: bool) -> np.ndarray:
+    """payload -> uint8 grayscale pixel matrix (h, w). Fake branch derives
+    deterministic pseudo-pixels from the content hash; real branch is PIL."""
+    if use_fake:
+        h = hashlib.sha256(b).digest()
+        w = 16 + h[0] % 64
+        ht = 16 + h[1] % 64
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        return rng.randint(0, 256, size=(ht, w), dtype=np.uint8)
+    import io  # pragma: no cover - PIL not present in this env
+
+    from PIL import Image  # pragma: no cover
+
+    img = Image.open(io.BytesIO(b)).convert("L")  # pragma: no cover
+    return np.asarray(img)  # pragma: no cover
+
+
 def decode_image_batch(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     """(media_id, width, height, pixels_digest) — image decode.
 
@@ -71,24 +88,10 @@ def decode_image_batch(media: DataFrame, allow_fake: bool = False) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, digs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload or b"")
-                if use_fake:
-                    h = hashlib.sha256(b).digest()
-                    w = 16 + h[0] % 64
-                    ht = 16 + h[1] % 64
-                    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-                    pixels = rng.randint(0, 256, size=(ht, w), dtype=np.uint8)
-                else:  # pragma: no cover - PIL not present in this env
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(b)).convert("L")
-                    w, ht = img.size
-                    pixels = np.asarray(img)
+                pixels = _decode_gray(bytes(payload or b""), use_fake)
                 ids.append(mid)
-                ws.append(w)
-                hs.append(ht)
+                ws.append(pixels.shape[1])
+                hs.append(pixels.shape[0])
                 digs.append(hashlib.sha256(pixels.tobytes()).hexdigest()[:16])
             yield pd.DataFrame(
                 {"media_id": ids, "width": ws, "height": hs, "pixels_digest": digs}
@@ -129,6 +132,55 @@ def extract_media_features(payload):  # type: ignore[no-untyped-def]
             ]
         )
     return pd.Series(out)
+
+
+def resize_image_batch(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    allow_fake: bool = False,
+) -> DataFrame:
+    """(media_id, width, height, pixels) — decode + nearest-neighbor resize
+    to (target_h, target_w), the preprocessing step before a vision-model
+    batch. The DECODE shares ``decode_image_batch``'s gate (PIL preferred,
+    deterministic fake behind ``allow_fake``); the RESIZE kernel itself is
+    pure numpy index sampling and runs for real in both branches. Resized
+    pixels ship back as row-major uint8 bytes so downstream UDFs can
+    ``np.frombuffer(..).reshape(target_h, target_w)`` without re-decoding.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; output
+    rows are fixed-size (target_h*target_w bytes), so downstream batch
+    sizing is exact regardless of source image dimensions.
+    """
+    use_fake = not _pil_available()
+    if use_fake and not allow_fake:
+        raise NotImplementedError(
+            "image decode requires PIL which is not installed; pass "
+            "allow_fake=True for the deterministic stand-in decode"
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, pix = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pixels = _decode_gray(bytes(payload or b""), use_fake)
+                src_h, src_w = pixels.shape
+                rows = (np.arange(target_h) * src_h) // target_h
+                cols = (np.arange(target_w) * src_w) // target_w
+                resized = pixels[np.ix_(rows, cols)]
+                ids.append(mid)
+                ws.append(target_w)
+                hs.append(target_h)
+                pix.append(resized.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels": pix}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, width int, height int, pixels binary"
+    )
 
 
 def frame_sample_video(

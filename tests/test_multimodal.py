@@ -10,6 +10,7 @@ from search_engine_spark.multimodal.media import (
     extract_media_features,
     frame_sample_video,
     media_table_from_binaries,
+    resize_image_batch,
 )
 
 
@@ -51,6 +52,36 @@ def test_feature_vectors(media):
     assert all(len(v) == 8 for v in feats.values())
     assert feats[5] == [0.0] * 8  # empty payload -> zero vector
     assert feats[1] != feats[2]
+
+
+def test_resize_fixed_shape_and_determinism(media):
+    import hashlib
+
+    import numpy as np
+
+    a = {r["media_id"]: r for r in resize_image_batch(media, 32, 24, allow_fake=True).collect()}
+    assert set(a) == {1, 2, 5}  # only image rows
+    assert all((r["width"], r["height"], len(r["pixels"])) == (32, 24, 32 * 24)
+               for r in a.values())
+    b = {r["media_id"]: r["pixels"] for r in resize_image_batch(media, 32, 24, allow_fake=True).collect()}
+    assert {k: r["pixels"] for k, r in a.items()} == b
+    assert a[1]["pixels"] != a[2]["pixels"]  # distinct payloads -> distinct pixels
+    # the resize kernel is REAL nearest-neighbor sampling of the decoded
+    # matrix: recompute one row/col grid locally and compare byte-for-byte
+    from search_engine_spark.multimodal.media import _decode_gray
+
+    payload = media.filter(F.col("media_id") == 1).select("payload").first()[0]
+    px = _decode_gray(bytes(payload), use_fake=True)
+    rows = (np.arange(24) * px.shape[0]) // 24
+    cols = (np.arange(32) * px.shape[1]) // 32
+    want = px[np.ix_(rows, cols)].tobytes()
+    assert bytes(a[1]["pixels"]) == want
+    assert hashlib.sha256(bytes(a[1]["pixels"])).hexdigest() == hashlib.sha256(want).hexdigest()
+
+
+def test_resize_requires_lib_or_fake(media):
+    with pytest.raises(NotImplementedError):
+        resize_image_batch(media).collect()
 
 
 def test_frame_sampling(media):
