@@ -46,11 +46,24 @@ def quality_features(
     the shape of the reference's content score (build_text_index.py:158-170)
     adapted to text-only inputs.
     """
+    cols = quality_feature_cols(F.col(text_col), cfg, round_to)
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+def quality_feature_cols(
+    text: Column, cfg: EngineConfig = DEFAULT_CONFIG, round_to: int = 6
+) -> dict[str, Column]:
+    """The per-row quality expressions as named Columns (cast/rounded
+    exactly as ``quality_features`` emits them) — reusable inside composed
+    single-projection pipelines (see operators/curation.py)."""
     stop = sorted(w for w in cfg.stopwords if len(w) > 1 and w.isalnum())
-    toks = ws_tokens(F.lower(F.col(text_col)))
+    toks = ws_tokens(F.lower(text))
     n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\w\s]", ""))
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"(?U)[^\w\s]", ""))
     # isin over >10 literals optimizes to InSet (hash lookup per token),
     # not the O(|stopwords|) array_contains scan
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
@@ -65,15 +78,14 @@ def quality_features(
         + (F.lit(1.0) - punct_ratio) * 0.3
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
     )
-    return docs.select(
-        F.col(doc_col).alias("doc_id"),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_tok, round_to).alias("avg_token_len"),
-        F.round(stop_ratio, round_to).alias("stopword_ratio"),
-        F.round(punct_ratio, round_to).alias("punct_ratio"),
-        F.round(quality, round_to).alias("quality_score"),
-    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(avg_tok, round_to),
+        "stopword_ratio": F.round(stop_ratio, round_to),
+        "punct_ratio": F.round(punct_ratio, round_to),
+        "quality_score": F.round(quality, round_to),
+    }
 
 
 def lang_id(
@@ -97,12 +109,7 @@ def lang_id(
     scored = base.select("doc_id", *counts)
     langs = sorted(LANG_MARKERS)
     m = F.greatest(*[F.col(f"hits_{l}") for l in langs])
-    # first lang (asc) reaching the max -> deterministic tie-break, and the
-    # identical CASE chain is what the SQL oracle runs
-    expr = None
-    for l in langs:
-        cond = F.col(f"hits_{l}") == m
-        expr = F.when(cond, F.lit(l)) if expr is None else expr.when(cond, F.lit(l))
+    expr = _first_max_case([(l, F.col(f"hits_{l}")) for l in langs], m)
     return scored.select(
         "doc_id",
         expr.alias("pred_lang"),
@@ -110,11 +117,40 @@ def lang_id(
     )
 
 
+def _first_max_case(hits: list[tuple[str, Column]], m: Column) -> Column:
+    """First lang (asc) reaching the max -> deterministic tie-break; the
+    identical CASE chain is what the SQL oracle runs."""
+    expr = None
+    for lang, h in hits:
+        cond = h == m
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def lang_pred_cols(text: Column) -> tuple[Column, Column]:
+    """(pred_lang, lang_hits) as a single expression tree over one text
+    Column — the marker-word lang-id reusable inside composed
+    single-projection pipelines (same semantics as ``lang_id``)."""
+    toks = ws_tokens(F.lower(text))
+    langs = sorted(LANG_MARKERS)
+    hits = [
+        (l, F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[l]))))
+        for l in langs
+    ]
+    m = F.greatest(*[h for _, h in hits])
+    return _first_max_case(hits, m), m.cast("long")
+
+
 # BPE-ish pre-tokenization pattern: contractions, letter runs, digit runs,
 # punctuation runs (each optionally preceded by one space), whitespace runs.
 # The GPT-2 pattern minus its trailing-space lookahead, which RE2 (the
 # DuckDB oracle engine) cannot express; both engines run THIS exact regex.
 BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization count (int) over one text Column."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
 
 
 def token_counts(
@@ -129,7 +165,7 @@ def token_counts(
     no tokenizer model is loaded). Native regexp_extract_all, codegen'd.
     """
     ws = F.size(ws_tokens(F.col(text_col)))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    bpe = bpe_token_count_col(F.col(text_col))
     n_chars = F.length(F.col(text_col))
     return docs.select(
         F.col(doc_col).alias("doc_id"),

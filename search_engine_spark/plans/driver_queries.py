@@ -204,6 +204,27 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_LANG = "en"
+CURATE_MIN_QUALITY = 0.35
+CURATE_MIN_TOKENS = 20
+CURATE_MAX_TOKENS = 80
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation cascade (lang -> quality -> token budget -> exact
+    dedup) in one scan + one exchange; see operators/curation.py."""
+    from search_engine_spark.operators.curation import curate_docs
+
+    return curate_docs(
+        _docs(spark, sf_dir),
+        CFG,
+        lang=CURATE_LANG,
+        min_quality=CURATE_MIN_QUALITY,
+        min_tokens=CURATE_MIN_TOKENS,
+        max_tokens=CURATE_MAX_TOKENS,
+    )
+
+
 EMB_DUP_THRESHOLD = 0.35
 
 
@@ -409,6 +430,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
+        "curate_docs": q_curate,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ivf_probe": q_ivf_probe,
@@ -711,6 +733,42 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id <> {EMB_QUERY_ID}
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {EMB_TOPK}""",
+        "curate_docs": f"""WITH t AS (
+  SELECT doc_id, text, md5(text) AS fp,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, fp, text, toks,
+         {hits_cols}
+  FROM t
+),
+g AS (SELECT *, greatest({", ".join(f"hits_{l}" for l in langs)}) AS m FROM h),
+mm AS (
+  SELECT doc_id, fp,
+         CASE {pred_case} END AS pred_lang,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS BIGINT) AS n_stop
+  FROM g
+),
+f AS (
+  SELECT doc_id, fp, pred_lang, n_bpe_tokens,
+         round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+               + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)) * 0.3
+               + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+               6) AS quality_score
+  FROM mm
+),
+k AS (
+  SELECT * FROM f
+  WHERE pred_lang = '{CURATE_LANG}' AND quality_score >= {CURATE_MIN_QUALITY}
+    AND n_bpe_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k)
+SELECT doc_id, fp, pred_lang, n_bpe_tokens, quality_score FROM r WHERE rn = 1""",
         "embedding_dup_pairs": f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))

@@ -1,0 +1,72 @@
+"""Composed curation cascade: filter-then-dedup semantics, canonical
+selection, and parity of the shared expression builders with the
+standalone operators they were refactored from."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.curation import curate_docs
+from search_engine_spark.operators.text_quality import (
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+EN = (
+    "the quick brown fox jumps over the lazy dog and it is that good "
+    "for all of us to see in the morning light with friends"
+)
+DE = (
+    "der hund und die katze das ist nicht ein problem mit der welt "
+    "von heute und morgen für alle"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, EN),            # passes all filters; dup of 3
+        (1, DE),            # rejected: wrong language
+        (2, EN + " extra words here to change the fingerprint slightly"),
+        (3, EN),            # dup of 0 -> deduped (0 is canonical)
+        (4, "x " * 200),    # rejected: token budget + quality
+        (5, ""),            # rejected: empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_curate_filter_then_dedup(spark, docs):
+    got = {r["doc_id"]: r for r in curate_docs(
+        docs, lang="en", min_quality=0.2, min_tokens=5, max_tokens=100
+    ).collect()}
+    # 0 survives as canonical of {0, 3}; 2 survives alone
+    assert set(got) == {0, 2}
+    assert all(r["pred_lang"] == "en" for r in got.values())
+    assert got[0]["fp"] == docs.selectExpr("md5(text)").collect()[3][0]
+
+
+def test_curate_dup_of_rejected_does_not_survive(spark):
+    # doc 10 fails the token floor; its duplicate 11 also fails -> neither
+    # survives, and crucially the dup link cannot resurrect either
+    rows = [(10, "the of and"), (11, "the of and"), (12, EN)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in curate_docs(
+        df, lang="en", min_quality=0.0, min_tokens=5, max_tokens=100
+    ).collect()}
+    assert got == {12}
+
+
+def test_curate_columns_match_standalone_operators(spark, docs):
+    """The single-projection pipeline reuses the EXACT expressions of the
+    standalone oracled operators: per-doc values must be identical."""
+    cur = {r["doc_id"]: r for r in curate_docs(
+        docs, lang="en", min_quality=0.2, min_tokens=5, max_tokens=100
+    ).collect()}
+    q = {r["doc_id"]: r["quality_score"] for r in quality_features(docs).collect()}
+    l = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    t = {r["doc_id"]: r["n_bpe_tokens"] for r in token_counts(docs).collect()}
+    for doc_id, r in cur.items():
+        assert r["quality_score"] == q[doc_id]
+        assert r["pred_lang"] == l[doc_id]
+        assert r["n_bpe_tokens"] == t[doc_id]
