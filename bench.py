@@ -134,7 +134,17 @@ def main() -> None:
         "ivf_probe",
         lambda: ivf_probe_by_id(spark, ipath, 0, k=10, n_probe=2).collect(),
     )
+    from search_engine_spark.operators.similarity import cosine_dup_pairs
+
+    timed(
+        "embedding_dup_pairs",
+        lambda: cosine_dup_pairs(emb, threshold=0.35).count(),
+    )
     timed("text_quality", lambda: quality_features(docs).count())
+
+    from search_engine_spark.operators.curation import curate_docs
+
+    timed("curate_docs", lambda: curate_docs(docs).count())
     timed("events_hourly", lambda: hourly_event_stats(events).count())
     timed("sessionize", lambda: sessionize(events).count())
 
