@@ -118,6 +118,32 @@ def main() -> None:
         lambda: minhash_dup_pairs(docs, threshold=0.5, hash_fn="xxhash64").count(),
     )
     timed("dedup_simhash", lambda: simhash(docs).count())
+
+    # pairs -> clusters endgame: connected components (large-star/small-star)
+    # over a deterministic 200k-node dup graph with realistic web-dedup shape
+    # (50k 4-cliques, every ~10th chained). The sf0.1 minhash graph itself is
+    # the adversarial 29-term-vocab regime (~10M edges over 5000 docs, avg
+    # degree ~3900 — no real near-dup graph looks like that; measured 303s,
+    # see BENCH.md), so the bench measures the operator on the shape it is
+    # for, not the corpus pathology already covered by dedup_minhash_*.
+    from search_engine_spark.operators.components import dup_clusters
+
+    def _cc_synth():
+        n = 200_000
+        cdocs = spark.range(n).withColumnRenamed("id", "doc_id")
+        base = spark.range(n)
+        clique = base.filter((F.col("id") % 4) != 0).select(
+            F.col("id").alias("doc_a"),
+            (F.col("id") - F.col("id") % 4).alias("doc_b"),
+        )
+        chain = (
+            base.filter(((F.col("id") % 4) == 0) & ((F.xxhash64("id") % 10) == 0))
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 4).alias("doc_b"))
+            .filter(F.col("doc_b") < n)
+        )
+        return dup_clusters(cdocs, clique.union(chain)).count()
+
+    timed("dup_clusters_200k", _cc_synth)
     timed("embedding_topk", lambda: cosine_topk(emb, 0, 10).collect())
 
     # IVF ANN: one-off quantizer build (persisted, centroid-partitioned
@@ -142,9 +168,12 @@ def main() -> None:
     )
     timed("text_quality", lambda: quality_features(docs).count())
 
-    from search_engine_spark.operators.curation import curate_docs
+    from search_engine_spark.operators.curation import curate_docs, hash_split
+    from search_engine_spark.operators.text_quality import ngram_counts
 
     timed("curate_docs", lambda: curate_docs(docs).count())
+    timed("hash_split", lambda: hash_split(docs).count())
+    timed("ngram_counts", lambda: ngram_counts(docs, 2, 50).count())
     timed("events_hourly", lambda: hourly_event_stats(events).count())
     timed("sessionize", lambda: sessionize(events).count())
 

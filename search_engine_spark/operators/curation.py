@@ -77,3 +77,46 @@ def curate_docs(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: tuple[float, ...] = (0.8, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    doc_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """(doc_id, fp_prefix, split): deterministic train/val/test assignment.
+
+    The training-data staple Spark's randomSplit cannot provide: a split
+    that is STABLE across runs, cluster sizes, row order, and engines —
+    membership is a pure function of the document id, so a re-run of the
+    pipeline (or a different engine; the DuckDB oracle reproduces it
+    byte-for-byte) assigns every document identically, and incremental
+    corpus additions never reshuffle existing assignments.
+
+    Mechanism: the first 4 hex chars of md5(doc_id || salt) partition the
+    65536-bucket hash space by lexicographic boundaries. Fractions are
+    quantized to 1/65536 (boundary = floor(cum_fraction * 65536) rendered
+    as 4 hex chars): exactly reproducible in any engine with md5 and
+    string comparison, with quantization error <= 0.002%. The last split
+    named in ``names`` takes the remainder. Narrow, shuffle-free, scales
+    linearly; ``salt`` derives independent splits from the same corpus.
+    """
+    if len(names) != len(fractions) + 1:
+        raise ValueError("need exactly one more name than fractions")
+    fp = F.md5(F.concat(F.col(doc_col).cast("string"), F.lit(salt)).cast("binary"))
+    prefix = F.substring(fp, 1, 4)
+    cum = 0.0
+    expr = None
+    for name, frac in zip(names, fractions):
+        cum += frac
+        bound = format(int(cum * 65536), "04x")
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(names[-1])
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        prefix.alias("fp_prefix"),
+        expr.alias("split"),
+    )

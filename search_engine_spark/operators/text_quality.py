@@ -311,3 +311,47 @@ def doc_fingerprints(
         F.md5(norm.cast("binary")).alias("fp"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    top: int = 50,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+) -> DataFrame:
+    """(ngram, n_occurrences): corpus-wide word n-gram frequency, top-N.
+
+    The language-model staple (n-gram LM stats, contamination screens,
+    boilerplate detection all start from this table). Built from the
+    ORDERED index-side token stream (len>1, stopwords dropped) with pure
+    Catalyst higher-order functions — one explode, one hash aggregate
+    with map-side partial counts, then TakeOrderedAndProject for the
+    top-N; ties broken (count desc, ngram asc) for determinism. Unlike
+    shingle_terms this keeps per-doc MULTIPLICITY: these are frequency
+    counts, not set membership.
+    """
+    from search_engine_spark.functions.tokenize import index_tokens_col
+
+    # materialize the token array BEFORE the per-position lambda: an inlined
+    # tokenize expression would be re-evaluated once per sequence element
+    # (O(tokens^2) re-tokenization per doc — measured 200s vs 3s at sf0.1)
+    tokenized = docs.select(
+        index_tokens_col(F.col(text_col), cfg.stopwords).alias("toks")
+    )
+    toks = F.col("toks")
+    ng = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        tokenized.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top)
+    )

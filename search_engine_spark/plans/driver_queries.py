@@ -171,6 +171,35 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_ngram(_docs(spark, sf_dir))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (alternating large-star/
+    small-star) over the minhash_dup_pairs graph; every document gets a
+    deterministic canonical representative (min doc_id of its component)
+    and a cluster size. The DuckDB oracle computes the same components
+    via a recursive-CTE transitive closure."""
+    from search_engine_spark.operators.components import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dup_pairs(
+        docs, num_hashes=8, rows_per_band=2, threshold=0.5, cfg=CFG
+    )
+    return dup_clusters(docs, pairs)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-boundary train/val/test split (80/10/10)."""
+    from search_engine_spark.operators.curation import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequency table, top 50."""
+    from search_engine_spark.operators.text_quality import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, top=50)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), EMB_QUERY_ID, EMB_TOPK)
 
@@ -431,6 +460,9 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "curate_docs": q_curate,
+        "dup_clusters": q_dup_clusters,
+        "hash_split": q_hash_split,
+        "ngram_counts": q_ngram_counts,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ivf_probe": q_ivf_probe,
@@ -675,6 +707,82 @@ FROM common cm
 JOIN sizes sa ON sa.doc_id = cm.doc_a
 JOIN sizes sb ON sb.doc_id = cm.doc_b
 WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5""",
+        # components via recursive-CTE transitive closure (semi-naive
+        # evaluation keeps the per-iteration delta small); the Spark side
+        # runs alternating large-star/small-star — same fixpoint
+        "dup_clusters": f"""WITH RECURSIVE {_base_ctes()},
+seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h),
+sig AS (
+  SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
+  FROM postings p CROSS JOIN seeds s GROUP BY p.doc_id, s.h
+),
+bands AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         string_agg(minhash, ',' ORDER BY h) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM postings GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS cm
+  FROM cand c
+  JOIN postings pa ON pa.doc_id = c.doc_a
+  JOIN postings pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
+  GROUP BY c.doc_a, c.doc_b
+),
+dpairs AS (
+  SELECT cm.doc_a, cm.doc_b
+  FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.doc_a
+  JOIN sizes sb ON sb.doc_id = cm.doc_b
+  WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM dpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+),
+csz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c JOIN csz s USING (component)""",
+        "hash_split": """WITH fp AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS fp_prefix
+  FROM documents
+)
+SELECT doc_id, fp_prefix,
+       CASE WHEN fp_prefix < 'cccc' THEN 'train'
+            WHEN fp_prefix < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM fp""",
+        "ngram_counts": f"""WITH tk AS (
+  SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+                     x -> length(x) > 1 AND NOT list_contains([{stop}], x)) AS toks
+  FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS ngram
+  FROM tk WHERE len(toks) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
         "simhash": f"""WITH {_base_ctes()},
 bitpos AS (SELECT CAST(unnest(generate_series(1, 32)) AS INT) AS i),
 contrib AS (

@@ -70,3 +70,77 @@ def test_curate_columns_match_standalone_operators(spark, docs):
         assert r["quality_score"] == q[doc_id]
         assert r["pred_lang"] == l[doc_id]
         assert r["n_bpe_tokens"] == t[doc_id]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from search_engine_spark.operators.curation import hash_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # pure function of doc_id
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 2000 - 0.8) < 0.03
+    assert abs(frac["val"] / 2000 - 0.1) < 0.02
+    assert abs(frac["test"] / 2000 - 0.1) < 0.02
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    # adding documents must never move an existing doc between splits
+    from search_engine_spark.operators.curation import hash_split
+
+    small = {r["doc_id"]: r["split"]
+             for r in hash_split(spark.range(100).withColumnRenamed("id", "doc_id")).collect()}
+    big = {r["doc_id"]: r["split"]
+           for r in hash_split(spark.range(500).withColumnRenamed("id", "doc_id")).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_salt_gives_independent_assignment(spark):
+    from search_engine_spark.operators.curation import hash_split
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="v2").collect()}
+    assert a != b  # different salt reshuffles membership
+    # but the salted split is itself deterministic
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="v2").collect()}
+    assert b == c
+
+
+def test_hash_split_validates_names(spark):
+    import pytest as _pytest
+
+    from search_engine_spark.operators.curation import hash_split
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        hash_split(docs, fractions=(0.5,), names=("a",))
+
+
+def test_ngram_counts_matches_python(spark):
+    from collections import Counter
+
+    from search_engine_spark.config import load_stopwords
+    from search_engine_spark.operators.text_quality import ngram_counts
+    from search_engine_spark.oracle.pyref import oracle_tokenize_index
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "beta gamma delta!! beta gamma"),
+        (2, "a of the"),  # all filtered -> no bigrams
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["ngram"], r["n_occurrences"]) for r in ngram_counts(df, 2, 50).collect()]
+
+    stop = load_stopwords()
+    exp = Counter()
+    for _, text in rows:
+        toks = oracle_tokenize_index(text, stop)
+        for i in range(len(toks) - 1):
+            exp[f"{toks[i]} {toks[i+1]}"] += 1
+    expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == expected
