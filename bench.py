@@ -168,6 +168,10 @@ def main() -> None:
     )
     timed("text_quality", lambda: quality_features(docs).count())
 
+    from search_engine_spark.operators.text_quality import repetition_features
+
+    timed("repetition", lambda: repetition_features(docs).count())
+
     from search_engine_spark.operators.curation import curate_docs, hash_split
     from search_engine_spark.operators.text_quality import ngram_counts
 

@@ -313,6 +313,126 @@ def doc_fingerprints(
     )
 
 
+def _sorted_run_stats(arr: Column) -> Column:
+    """Multiplicity stats over a string array in ONE shuffle-free pass:
+    struct(max_chars, dup_chars, n_distinct) where, per distinct value v
+    with occurrence count c, max_chars = max(c * length(v)), dup_chars =
+    sum((c - 1) * length(v)) and n_distinct counts distinct values.
+
+    array_sort groups equal values into runs, then a single F.aggregate
+    fold tracks the current run incrementally — O(n log n) per document
+    inside codegen, vs the O(n^2) filter-count-per-distinct alternative
+    (which at web-document sizes of thousands of n-grams per doc would be
+    millions of string compares per row)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_chars"),
+        F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("n_distinct"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["max_chars"], run * F.length(x)).alias("max_chars"),
+            (acc["dup_chars"] + F.when(same, F.length(x)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_chars"),
+            (acc["n_distinct"] + F.when(same, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge)
+
+
+def repetition_features(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_char_frac, dup_bigram_char_frac): Gopher-style repetition
+    signals (Rae et al. 2021 §A1.1), the standard boilerplate/spam screen
+    in web-corpus curation.
+
+    - dup_line_frac: fraction of (trimmed, non-empty) lines that are
+      repeats of an earlier identical line.
+    - dup_line_char_frac: characters in those repeated lines / total line
+      characters.
+    - top_bigram_char_frac: characters covered by the most frequent word
+      bigram (count * bigram length) / document characters.
+    - dup_bigram_char_frac: characters in non-first bigram occurrences /
+      document characters. Consecutive bigrams overlap by one token, so
+      this can exceed 1.0 on degenerate corpora; curation thresholds
+      (Gopher uses ~0.2) sit far below.
+
+    Bigrams use the same lowercased whitespace tokens as
+    ``quality_features`` (raw stream — repetition screens must see
+    stopwords). Entirely per-row Catalyst: no shuffle, no UDF; per-doc
+    cost is O(n log n) via the sorted-run fold (see _sorted_run_stats).
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    # materialize toks/lines before the per-position lambdas (see
+    # ngram_counts: an inlined tokenize re-evaluates per element)
+    base = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        lines.alias("lines"),
+        ws_tokens(F.lower(text)).alias("toks"),
+    )
+    toks = F.col("toks")
+    ng = F.size(toks) - F.lit(1)
+    grams = F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.aggregate(
+            F.col("lines"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("line_chars"),
+        _sorted_run_stats(F.col("lines")).alias("ls"),
+        _sorted_run_stats(grams).alias("gs"),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > F.lit(0), num.cast("double") / den).otherwise(F.lit(0.0)),
+            round_to,
+        )
+
+    n_lines = F.col("n_lines")
+    return stats.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(n_lines - F.col("ls")["n_distinct"], n_lines).alias("dup_line_frac"),
+        frac(F.col("ls")["dup_chars"], F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        frac(F.col("gs")["max_chars"], F.col("n_chars")).alias(
+            "top_bigram_char_frac"
+        ),
+        frac(F.col("gs")["dup_chars"], F.col("n_chars")).alias(
+            "dup_bigram_char_frac"
+        ),
+    )
+
+
 def ngram_counts(
     docs: DataFrame,
     n: int = 2,

@@ -163,6 +163,14 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_docs(spark, sf_dir), CFG)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals (dup lines, dup and
+    top bigram char fractions), one shuffle-free Catalyst pass."""
+    from search_engine_spark.operators.text_quality import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -457,6 +465,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_dup_pairs": q_shingle_dup_pairs,
         "token_counts": q_token_counts,
         "text_quality": q_quality,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "curate_docs": q_curate,
@@ -794,6 +803,48 @@ contrib AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM contrib GROUP BY doc_id""",
+        "repetition": """WITH t AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gs AS (
+  SELECT doc_id, max(c * length(gram)) AS max_chars,
+         sum((c - 1) * length(gram)) AS dup_chars
+  FROM gc GROUP BY doc_id
+),
+l AS (SELECT doc_id, unnest(lines) AS line FROM t),
+lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         sum((c - 1) * length(line)) AS dup_chars,
+         sum(c * length(line)) AS tot_chars
+  FROM lc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                  THEN (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN coalesce(ls.tot_chars, 0) > 0
+                  THEN ls.dup_chars / CAST(ls.tot_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN length(t.text) > 0
+                  THEN coalesce(gs.max_chars, 0) / CAST(length(t.text) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_bigram_char_frac,
+       round(CASE WHEN length(t.text) > 0
+                  THEN coalesce(gs.dup_chars, 0) / CAST(length(t.text) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_bigram_char_frac
+FROM t
+LEFT JOIN gs ON gs.doc_id = t.doc_id
+LEFT JOIN ls ON ls.doc_id = t.doc_id""",
         "text_quality": f"""WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks

@@ -144,3 +144,73 @@ def test_ngram_counts_matches_python(spark):
             exp[f"{toks[i]} {toks[i+1]}"] += 1
     expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == expected
+
+
+def _py_repetition(text: str):
+    """Pure-Python oracle for repetition_features on one document."""
+    from collections import Counter
+
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln != ""]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_lines = n_lines - len(lc)
+    dup_line_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+    toks = [t for t in text.lower().split() if t]
+    grams = Counter(
+        f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+    )
+    n_chars = len(text)
+    top = max((c * len(g) for g, c in grams.items()), default=0)
+    dupg = sum((c - 1) * len(g) for g, c in grams.items())
+    r = lambda x: round(x, 6)
+    return (
+        n_lines,
+        r(dup_lines / n_lines) if n_lines else 0.0,
+        r(dup_line_chars / line_chars) if line_chars else 0.0,
+        r(top / n_chars) if n_chars else 0.0,
+        r(dupg / n_chars) if n_chars else 0.0,
+    )
+
+
+def test_repetition_features_matches_python(spark):
+    from search_engine_spark.operators.text_quality import repetition_features
+
+    rows = [
+        (0, "hello world\nhello world\nunique line\n\n  hello world  "),
+        (1, "a b a b a b"),
+        (2, ""),
+        (3, "one two three four"),
+        (4, "spam spam spam spam spam spam spam spam"),
+        (5, "x\ny\nx\ny\nx"),
+        (6, "   \n\n  "),  # whitespace-only lines all drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+            r["top_bigram_char_frac"],
+            r["dup_bigram_char_frac"],
+        )
+        for r in repetition_features(df).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_repetition(text), (doc_id, text)
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    # a boilerplate-heavy doc must score far above organic text on every signal
+    from search_engine_spark.operators.text_quality import repetition_features
+
+    organic = "the quick brown fox jumps over the lazy dog near the river bank"
+    spammy = "\n".join(["click here to win a prize now"] * 9 + ["real content once"])
+    df = spark.createDataFrame(
+        [(0, organic), (1, spammy)], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x for x in repetition_features(df).collect()}
+    assert r[1]["dup_line_frac"] > 0.7 > r[0]["dup_line_frac"]
+    assert r[1]["dup_line_char_frac"] > 0.7 > r[0]["dup_line_char_frac"]
+    assert r[1]["dup_bigram_char_frac"] > 0.5 > r[0]["dup_bigram_char_frac"]
