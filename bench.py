@@ -175,7 +175,16 @@ def main() -> None:
     from search_engine_spark.operators.curation import curate_docs, hash_split
     from search_engine_spark.operators.text_quality import ngram_counts
 
+    from search_engine_spark.operators.curation import contamination, scrub_pii
+
     timed("curate_docs", lambda: curate_docs(docs).count())
+    timed("scrub_pii", lambda: scrub_pii(docs).count())
+    timed(
+        "contamination",
+        lambda: contamination(
+            docs, docs.filter(F.col("doc_id") % 100 == 0), n=3
+        ).count(),
+    )
     timed("hash_split", lambda: hash_split(docs).count())
     timed("ngram_counts", lambda: ngram_counts(docs, 2, 50).count())
     timed("events_hourly", lambda: hourly_event_stats(events).count())

@@ -120,3 +120,115 @@ def hash_split(
         prefix.alias("fp_prefix"),
         expr.alias("split"),
     )
+
+
+# Portable across Java regex (Spark) and RE2 (DuckDB oracle): no
+# lookarounds, no backreferences, character classes and bounded repeats
+# only. Order matters — emails are scrubbed before IPs/phones so their
+# local parts can't be re-matched as numbers; each counter runs on the
+# text state its own replacement sees.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\-]{7,14}\d"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ipv4, n_phones): PII redaction.
+
+    The compliance staple of every web-corpus pipeline: emails, IPv4
+    addresses and international-format phone numbers are replaced with
+    <EMAIL> / <IP> / <PHONE> tokens, with per-doc match counts kept for
+    audit tables. Pure JVM-side regexp_replace/regexp_count in one
+    projection — no shuffle, no UDF, linear in bytes; the patterns are
+    deliberately RE2-compatible so the DuckDB oracle replays them
+    byte-for-byte.
+    """
+    text = F.col(text_col)
+    clean1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean2 = F.regexp_replace(clean1, PII_IPV4, "<IP>")
+    clean3 = F.regexp_replace(clean2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        clean3.alias("clean_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(clean1, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(clean2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+def _word_ngrams(toks, n: int):
+    """Word n-grams of a materialized token-array column (see
+    text_quality.ngram_counts for why the array must be a bound column,
+    not an inlined expression)."""
+    ng = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_contaminated_ngrams, contaminated): benchmark overlap.
+
+    The eval-hygiene staple: before training, every document sharing any
+    word n-gram with an evaluation benchmark must be flagged (the
+    GPT-3/PaLM-style n-gram contamination screen). Counts DISTINCT
+    contaminated n-grams per document and flags contaminated (0/1).
+
+    Scale shape: per-doc n-grams are deduped row-locally (array_distinct,
+    no shuffle) BEFORE the explode; the benchmark side is tiny relative
+    to any corpus, so its distinct gram set broadcasts — the only
+    exchange is the slim (doc_id, count) aggregation. Tokenization is
+    the lowercased whitespace stream (contamination must see stopwords).
+    """
+    from search_engine_spark.operators.text_quality import ws_tokens
+
+    tokenized = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    doc_grams = tokenized.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(F.col("toks"), n))).alias("gram"),
+    )
+    bench_tok = benchmark.select(
+        ws_tokens(F.lower(F.col(bench_text_col))).alias("toks")
+    )
+    bench_grams = (
+        bench_tok.select(
+            F.explode(F.array_distinct(_word_ngrams(F.col("toks"), n))).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

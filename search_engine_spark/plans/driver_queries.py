@@ -171,6 +171,58 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones -> tokens + audit counts). The
+    synthetic corpus carries no PII, so deterministic emails/IPs/phones
+    are seeded into the text as a pure function of doc_id — the DuckDB
+    oracle seeds identically, so the contract exercises the regexes and
+    the replaced text byte-for-byte."""
+    from search_engine_spark.operators.curation import scrub_pii
+
+    doc_id = F.col("doc_id")
+    seeded = _docs(spark, sf_dir).select(
+        doc_id,
+        F.concat(
+            F.col("text"),
+            F.when(
+                doc_id % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    doc_id.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                doc_id % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (doc_id % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                doc_id % 13 == 0,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram contamination screen: every 100th document plays
+    the benchmark set; docs sharing any word trigram with it are flagged
+    (broadcast semi-join on row-locally-deduped n-grams)."""
+    from search_engine_spark.operators.curation import contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination(docs, bench, n=3)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -466,6 +518,8 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "text_quality": q_quality,
         "repetition": q_repetition,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "curate_docs": q_curate,
@@ -845,6 +899,56 @@ SELECT t.doc_id,
 FROM t
 LEFT JOIN gs ON gs.doc_id = t.doc_id
 LEFT JOIN ls ON ls.doc_id = t.doc_id""",
+        "scrub_pii": """WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean1
+  FROM seeded
+),
+s2 AS (
+  SELECT doc_id, text, clean1,
+         regexp_replace(clean1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean2
+  FROM s
+)
+SELECT doc_id,
+       regexp_replace(clean2, '\\+\\d[\\d\\-]{7,14}\\d', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(clean1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(clean2, '\\+\\d[\\d\\-]{7,14}\\d')) AS BIGINT) AS n_phones
+FROM s2""",
+        "contamination": """WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t WHERE len(toks) >= 3
+),
+bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""",
         "text_quality": f"""WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks

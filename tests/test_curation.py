@@ -214,3 +214,85 @@ def test_repetition_features_flags_boilerplate(spark):
     assert r[1]["dup_line_frac"] > 0.7 > r[0]["dup_line_frac"]
     assert r[1]["dup_line_char_frac"] > 0.7 > r[0]["dup_line_char_frac"]
     assert r[1]["dup_bigram_char_frac"] > 0.5 > r[0]["dup_bigram_char_frac"]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from search_engine_spark.operators.curation import scrub_pii
+
+    rows = [
+        (0, "mail john.doe+spam@example.co.uk or visit 192.168.1.1 now"),
+        (1, "call +14155551234 or +44-20-7946-0958 today"),
+        (2, "no pii here"),
+        (3, "a@b.io and c@d.org; servers 10.0.0.255, 8.8.8.8"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[0]["clean_text"] == "mail <EMAIL> or visit <IP> now"
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (1, 1, 0)
+    assert got[1]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert got[1]["n_phones"] == 2
+    assert got[2]["clean_text"] == "no pii here"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[3]["clean_text"] == "<EMAIL> and <EMAIL>; servers <IP>, <IP>"
+    assert (got[3]["n_emails"], got[3]["n_ipv4"]) == (2, 2)
+    assert got[4]["clean_text"] == ""
+
+
+def test_scrub_pii_email_local_digits_not_rematched(spark):
+    # the email is scrubbed FIRST, so digits inside it never count as
+    # IPs/phones; counts run on the text state their replacement sees
+    from search_engine_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "reach 1.2.3.4.5.6.7.8@mail.com at +12223334444")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["clean_text"] == "reach <EMAIL> at <PHONE>"
+    assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 0, 1)
+
+
+def test_contamination_matches_python(spark):
+    from search_engine_spark.operators.curation import contamination
+
+    docs_rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick brown fox is a benchmark phrase somewhere"),
+        (2, "totally unrelated content with zero overlap"),
+        (3, "the quick brown fox jumps again and again"),
+        (4, "short"),
+    ]
+    bench_rows = [(100, "a quick brown fox jumps test item")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination(docs, bench, n=3).collect()}
+
+    def grams(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_g = set().union(*(grams(t) for _, t in bench_rows))
+    for doc_id, text in docs_rows:
+        expect = len(grams(text) & bench_g)
+        assert got[doc_id]["n_contaminated_ngrams"] == expect, (doc_id, text)
+        assert got[doc_id]["contaminated"] == (1 if expect else 0)
+    assert len(got) == len(docs_rows)  # zero-overlap docs still present
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    # the benchmark gram set must broadcast: no shuffle of the corpus grams
+    from search_engine_spark.operators.curation import contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 10 = 0")
+    plan = (
+        contamination(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
