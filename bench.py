@@ -186,6 +186,15 @@ def main() -> None:
         ).count(),
     )
     timed("hash_split", lambda: hash_split(docs).count())
+
+    from search_engine_spark.operators.curation import stratified_sample
+
+    timed(
+        "stratified_sample",
+        lambda: stratified_sample(
+            docs, rates={"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+        ).count(),
+    )
     timed("ngram_counts", lambda: ngram_counts(docs, 2, 50).count())
     timed("events_hourly", lambda: hourly_event_stats(events).count())
     timed("sessionize", lambda: sessionize(events).count())

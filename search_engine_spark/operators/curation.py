@@ -232,3 +232,51 @@ def contamination(
             .alias("contaminated"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    default_rate: float = 0.0,
+    doc_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """(doc_id, stratum): deterministic per-stratum subsample.
+
+    The domain-rebalancing staple (up/down-weighting sources or languages
+    in a training mix): each document is kept iff the first 4 hex chars
+    of md5(doc_id || salt) fall below its stratum's rate boundary — the
+    same engine-portable mechanism as ``hash_split``, so membership is a
+    pure function of (doc_id, salt): stable across runs, engines,
+    cluster sizes, and corpus growth, and REUSING the hash space means a
+    rate-0.25 sample is an exact subset of the rate-0.5 sample (nested
+    samples, the property Monte-Carlo-style rate sweeps need). Rates are
+    quantized to 1/65536; rate >= 1 keeps the whole stratum, rate <= 0
+    drops it (the hex-boundary compare cannot express either endpoint:
+    format(65536) = '10000' sorts BELOW 'ffff' lexicographically).
+    Shuffle-free narrow filter; scales linearly.
+    """
+    fp = F.md5(F.concat(F.col(doc_col).cast("string"), F.lit(salt)).cast("binary"))
+    prefix = F.substring(fp, 1, 4)
+
+    def keep(rate: float):
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return prefix < F.lit(format(int(rate * 65536), "04x"))
+
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = (
+            F.when(cond, keep(rate))
+            if expr is None
+            else expr.when(cond, keep(rate))
+        )
+    expr = keep(default_rate) if expr is None else expr.otherwise(keep(default_rate))
+    return docs.filter(expr).select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+    )

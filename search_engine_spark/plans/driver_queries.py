@@ -212,6 +212,19 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(seeded)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source subsample: src0 kept whole, src1 at 0.5,
+    src2 at 0.25, everything else at 0.1 — md5-boundary membership the
+    DuckDB oracle reproduces byte-for-byte."""
+    from search_engine_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram contamination screen: every 100th document plays
     the benchmark set; docs sharing any word trigram with it are flagged
@@ -520,6 +533,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "scrub_pii": q_scrub_pii,
         "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "curate_docs": q_curate,
@@ -929,6 +943,18 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(clean1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
        CAST(len(regexp_extract_all(clean2, '\\+\\d[\\d\\-]{7,14}\\d')) AS BIGINT) AS n_phones
 FROM s2""",
+        "stratified_sample": """WITH fp AS (
+  SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS p
+  FROM documents
+)
+SELECT doc_id, source AS stratum
+FROM fp
+WHERE CASE source
+        WHEN 'src0' THEN TRUE
+        WHEN 'src1' THEN p < '8000'
+        WHEN 'src2' THEN p < '4000'
+        ELSE p < '1999'
+      END""",
         "contamination": """WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks

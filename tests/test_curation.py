@@ -296,3 +296,45 @@ def test_contamination_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from search_engine_spark.operators.curation import stratified_sample
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(
+        docs, rates={"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.25
+    ).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert len(by.get("s0", ())) == 1000  # rate 1.0 keeps the whole stratum
+    assert "s2" not in by  # rate 0.0 drops it entirely
+    assert abs(len(by["s1"]) / 1000 - 0.5) < 0.06
+    assert abs(len(by["s3"]) / 1000 - 0.25) < 0.06
+
+    # nested-sample property: the 0.25 sample of a stratum is an exact
+    # subset of its 0.5 sample (same hash space, lower boundary)
+    k25 = {
+        r["doc_id"]
+        for r in stratified_sample(docs, rates={"s1": 0.25}, default_rate=0.0).collect()
+    }
+    assert k25 <= by["s1"]
+    assert len(k25) < len(by["s1"])
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    from search_engine_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(500)], "doc_id long, source string"
+    )
+    a = {r["doc_id"] for r in stratified_sample(docs, {}, default_rate=0.3).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, {}, default_rate=0.3).collect()}
+    assert a == b
+    c = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {}, default_rate=0.3, salt="v2").collect()
+    }
+    assert a != c  # independent sample under a different salt
