@@ -28,7 +28,7 @@ staging table, same note as the dedup pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,4 +150,35 @@ def dup_clusters(
     )
     return assigned.join(sizes, "component").select(
         "doc_id", "component", "cluster_size"
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality_score",
+    doc_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, component, cluster_size, <score_col>): the keep-best
+    curation endgame — ONE row per near-dup cluster, keeping the member
+    with the highest ``score_col`` (ties to the smallest doc_id), so a
+    boilerplate-ridden copy never survives over its cleaner twin the way
+    dup_clusters' min-id canonical can allow.
+
+    ``docs`` must carry the score column (e.g. join quality_features
+    first). The selection window partitions by component, so Spark plans
+    it as WindowGroupLimit — the rank-1 filter is pushed below the sort
+    and only per-cluster winners leave the exchange.
+    """
+    clusters = dup_clusters(docs, pairs, doc_col=doc_col, src=src, dst=dst)
+    scored = clusters.join(
+        docs.select(F.col(doc_col).alias("doc_id"), F.col(score_col)), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

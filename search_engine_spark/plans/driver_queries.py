@@ -259,6 +259,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup endgame: one row per near-dup cluster, retaining
+    the member with the highest quality_score (ties to min doc_id)."""
+    from search_engine_spark.operators.components import canonical_docs
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(
+        quality_features(docs, CFG).select("doc_id", "quality_score"), "doc_id"
+    )
+    pairs = minhash_dup_pairs(
+        docs, num_hashes=8, rows_per_band=2, threshold=0.5, cfg=CFG
+    )
+    return canonical_docs(scored, pairs)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-boundary train/val/test split (80/10/10)."""
     from search_engine_spark.operators.curation import hash_split
@@ -538,6 +553,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "curate_docs": q_curate,
         "dup_clusters": q_dup_clusters,
+        "canonical_docs": q_canonical_docs,
         "hash_split": q_hash_split,
         "ngram_counts": q_ngram_counts,
         "embedding_topk": q_embedding_topk,
@@ -702,6 +718,57 @@ def driver_oracle_sql() -> dict[str, str]:
     pred_case = " ".join(
         f"WHEN hits_{l} = m THEN '{l}'" for l in langs
     )
+    _dup_comp_ctes = f"""WITH RECURSIVE {_base_ctes()},
+seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h),
+sig AS (
+  SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
+  FROM postings p CROSS JOIN seeds s GROUP BY p.doc_id, s.h
+),
+bands AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         string_agg(minhash, ',' ORDER BY h) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM postings GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS cm
+  FROM cand c
+  JOIN postings pa ON pa.doc_id = c.doc_a
+  JOIN postings pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
+  GROUP BY c.doc_a, c.doc_b
+),
+dpairs AS (
+  SELECT cm.doc_a, cm.doc_b
+  FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.doc_a
+  JOIN sizes sb ON sb.doc_id = cm.doc_b
+  WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM dpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+),
+csz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)"""
+
     sqls = {
         "postings": f"WITH {_base_ctes()} SELECT doc_id, term, tf FROM postings",
         "doc_stats": f"WITH {_base_ctes()} SELECT doc_id, doc_len FROM doclen",
@@ -787,58 +854,40 @@ WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5""",
         # components via recursive-CTE transitive closure (semi-naive
         # evaluation keeps the per-iteration delta small); the Spark side
         # runs alternating large-star/small-star — same fixpoint
-        "dup_clusters": f"""WITH RECURSIVE {_base_ctes()},
-seeds AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS h),
-sig AS (
-  SELECT p.doc_id, s.h, min(md5(p.term || '#' || CAST(s.h AS VARCHAR))) AS minhash
-  FROM postings p CROSS JOIN seeds s GROUP BY p.doc_id, s.h
-),
-bands AS (
-  SELECT doc_id, CAST(h // 2 AS INT) AS band,
-         string_agg(minhash, ',' ORDER BY h) AS band_key
-  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM postings GROUP BY doc_id),
-common AS (
-  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS cm
-  FROM cand c
-  JOIN postings pa ON pa.doc_id = c.doc_a
-  JOIN postings pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
-  GROUP BY c.doc_a, c.doc_b
-),
-dpairs AS (
-  SELECT cm.doc_a, cm.doc_b
-  FROM common cm
-  JOIN sizes sa ON sa.doc_id = cm.doc_a
-  JOIN sizes sb ON sb.doc_id = cm.doc_b
-  WHERE round(CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm), 6) >= 0.5
-),
-sym AS (
-  SELECT doc_a AS u, doc_b AS v FROM dpairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM dpairs
-),
-reach(u, v) AS (
-  SELECT u, v FROM sym
-  UNION
-  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
-),
-comp AS (
-  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
-  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-  GROUP BY d.doc_id
-),
-csz AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM comp GROUP BY component
-)
+        "dup_clusters": _dup_comp_ctes + """
 SELECT c.doc_id, c.component, s.cluster_size
 FROM comp c JOIN csz s USING (component)""",
+        # keep-best endgame: same component chain, winner by quality
+        "canonical_docs": _dup_comp_ctes + f""",
+qt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS BIGINT) AS n_stop
+  FROM qt
+),
+quality AS (
+  SELECT doc_id,
+         round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+               + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)) * 0.3
+               + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+               6) AS quality_score
+  FROM qm
+),
+sel AS (
+  SELECT c.doc_id, c.component, s.cluster_size, q.quality_score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN csz s USING (component)
+  JOIN quality q ON q.doc_id = c.doc_id
+)
+SELECT doc_id, component, cluster_size, quality_score FROM sel WHERE rn = 1""",
         "hash_split": """WITH fp AS (
   SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS fp_prefix
   FROM documents

@@ -103,3 +103,47 @@ def test_components_string_ids(spark):
         "urlX": "urlX",
         "urlY": "urlX",
     }
+
+
+def test_canonical_docs_keeps_best_by_score(spark):
+    from search_engine_spark.operators.components import canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (3, 0.9), (5, 0.9),   # cluster {1,3,5}: 3 wins (score tie -> min id)
+            (2, 0.1), (6, 0.8),             # cluster {2,6}: 6 wins despite larger id
+            (0, 0.4), (4, 0.7), (7, 0.2),   # singletons keep themselves
+        ],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r["component"]: r for r in canonical_docs(docs, pairs).collect()}
+    assert len(rows) == 5  # one row per cluster
+    assert rows[1]["doc_id"] == 3 and rows[1]["cluster_size"] == 3
+    assert rows[2]["doc_id"] == 6 and rows[2]["cluster_size"] == 2
+    for singleton in (0, 4, 7):
+        assert rows[singleton]["doc_id"] == singleton
+        assert rows[singleton]["cluster_size"] == 1
+
+
+def test_canonical_docs_plans_window_group_limit(spark):
+    # the rank-1 selection must push below the sort (WindowGroupLimit),
+    # so only per-cluster winners survive the exchange
+    from search_engine_spark.operators.components import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7) / 7) for i in range(40)],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 38, 2)], "doc_a long, doc_b long"
+    )
+    plan = (
+        canonical_docs(docs, pairs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
