@@ -160,20 +160,6 @@ def scrub_pii(
     )
 
 
-def _word_ngrams(toks, n: int):
-    """Word n-grams of a materialized token-array column (see
-    text_quality.ngram_counts for why the array must be a bound column,
-    not an inlined expression)."""
-    ng = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        ng >= 1,
-        F.transform(
-            F.sequence(F.lit(1), ng),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -195,7 +181,10 @@ def contamination(
     exchange is the slim (doc_id, count) aggregation. Tokenization is
     the lowercased whitespace stream (contamination must see stopwords).
     """
-    from search_engine_spark.operators.text_quality import ws_tokens
+    from search_engine_spark.operators.text_quality import (
+        word_ngrams_col,
+        ws_tokens,
+    )
 
     tokenized = docs.select(
         F.col(doc_col).alias("doc_id"),
@@ -203,14 +192,14 @@ def contamination(
     )
     doc_grams = tokenized.select(
         "doc_id",
-        F.explode(F.array_distinct(_word_ngrams(F.col("toks"), n))).alias("gram"),
+        F.explode(F.array_distinct(word_ngrams_col(F.col("toks"), n))).alias("gram"),
     )
     bench_tok = benchmark.select(
         ws_tokens(F.lower(F.col(bench_text_col))).alias("toks")
     )
     bench_grams = (
         bench_tok.select(
-            F.explode(F.array_distinct(_word_ngrams(F.col("toks"), n))).alias("gram")
+            F.explode(F.array_distinct(word_ngrams_col(F.col("toks"), n))).alias("gram")
         )
         .distinct()
     )

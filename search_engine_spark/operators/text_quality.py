@@ -313,6 +313,31 @@ def doc_fingerprints(
     )
 
 
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams ("a b", "b c", ...) of a MATERIALIZED token-array
+    column — the array must be a bound column reference, not an inlined
+    expression, or Catalyst re-evaluates the tokenize per position (see
+    ngram_counts' 200s-vs-3s note). Bigrams (the common case) take a
+    zip_with fast path: one pass over the array zipped with its own
+    1-shifted slice, no per-position slice allocation; general n falls
+    back to transform over a position sequence."""
+    if n == 2:
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    ng = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _sorted_run_stats(arr: Column) -> Column:
     """Multiplicity stats over a string array in ONE shuffle-free pass:
     struct(max_chars, dup_chars, n_distinct) where, per distinct value v
@@ -390,15 +415,7 @@ def repetition_features(
         lines.alias("lines"),
         ws_tokens(F.lower(text)).alias("toks"),
     )
-    toks = F.col("toks")
-    ng = F.size(toks) - F.lit(1)
-    grams = F.when(
-        ng >= 1,
-        F.transform(
-            F.sequence(F.lit(1), ng),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams_col(F.col("toks"), 2)
     stats = base.select(
         "doc_id",
         "n_chars",
@@ -459,15 +476,7 @@ def ngram_counts(
     tokenized = docs.select(
         index_tokens_col(F.col(text_col), cfg.stopwords).alias("toks")
     )
-    toks = F.col("toks")
-    ng = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        ng >= 1,
-        F.transform(
-            F.sequence(F.lit(1), ng),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams_col(F.col("toks"), n)
     return (
         tokenized.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
