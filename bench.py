@@ -119,6 +119,32 @@ def main() -> None:
     )
     timed("dedup_simhash", lambda: simhash(docs).count())
 
+    # Realistic-vocabulary dedup (VERDICT r03 #3): the sf0.1 documents
+    # table has a 29-term vocabulary, which makes ~3/4 of ALL pairs LSH
+    # candidates — a worst-case pathology, kept above as the adversarial
+    # entry, but useless for round-over-round comparison (candidate
+    # verification + first-run JIT dominate and swing 3-8x). These run the
+    # SAME pipeline on the 2000-term-Zipf pages corpus (~200 distinct
+    # terms/doc), where banding behaves like web dedup and timings are
+    # stable.
+    from search_engine_spark.sources.synth import synth_pages_df
+
+    pages = synth_pages_df(spark, 50_000).persist()
+    pages.count()  # materialize: entries time dedup, not generation
+    timed(
+        "dedup_pages50k",
+        lambda: minhash_dup_pairs(
+            pages, threshold=0.5, doc_col="url", text_col="text"
+        ).count(),
+    )
+    timed(
+        "dedup_pages50k_xxh64",
+        lambda: minhash_dup_pairs(
+            pages, threshold=0.5, doc_col="url", text_col="text", hash_fn="xxhash64"
+        ).count(),
+    )
+    pages.unpersist()
+
     # pairs -> clusters endgame: connected components (large-star/small-star)
     # over a deterministic 200k-node dup graph with realistic web-dedup shape
     # (50k 4-cliques, every ~10th chained). The sf0.1 minhash graph itself is
@@ -160,11 +186,26 @@ def main() -> None:
         "ivf_probe",
         lambda: ivf_probe_by_id(spark, ipath, 0, k=10, n_probe=2).collect(),
     )
-    from search_engine_spark.operators.similarity import cosine_dup_pairs
+    from search_engine_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_pairs_lsh_multi,
+    )
 
+    # Headline ANN-pair entry is the 100-TB path (bucketed sign-LSH; slim
+    # rows through the shuffle). The exact O(n^2) auditor runs SAMPLED
+    # (1/4 of vectors -> 1/16 of pairs) — it exists to audit recall, not
+    # to be the pipeline (VERDICT r03 "What's wrong" #1).
     timed(
-        "embedding_dup_pairs",
-        lambda: cosine_dup_pairs(emb, threshold=0.35).count(),
+        "cosine_pairs_lsh",
+        lambda: cosine_pairs_lsh_multi(
+            emb, n_tables=4, n_planes=6, threshold=0.35
+        ).count(),
+    )
+    timed(
+        "embedding_dup_pairs_sampled",
+        lambda: cosine_dup_pairs(
+            emb.filter(F.col("vec_id") % 4 == 0), threshold=0.35
+        ).count(),
     )
     timed("text_quality", lambda: quality_features(docs).count())
 

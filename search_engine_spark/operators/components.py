@@ -99,6 +99,7 @@ def connected_components(
         return (row["n"], row["h"])
 
     fp = fingerprint(edges)
+    converged = False
     for _ in range(max_rounds):
         # localCheckpoint (materialized by the fingerprint action) truncates
         # lineage every round — without it the logical plan doubles per
@@ -107,9 +108,19 @@ def connected_components(
         nfp = fingerprint(nxt)  # materializes the checkpoint
         edges = nxt  # earlier rounds' checkpoint blocks free on GC
         if nfp == fp:
+            converged = True
             break
         fp = nfp
     initial.unpersist()
+    if not converged:
+        # A non-star residual would silently mis-assign components; the
+        # alternation converges in O(log n) rounds, so hitting the cap
+        # means the caller's max_rounds is too small for this graph.
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds="
+            f"{max_rounds}; raise max_rounds (rounds needed is O(log n) "
+            f"in the largest component diameter)"
+        )
 
     # At the fixpoint every component is a star rooted at its minimum:
     # children appear as u, roots only as v.

@@ -105,6 +105,14 @@ def hash_split(
     """
     if len(names) != len(fractions) + 1:
         raise ValueError("need exactly one more name than fractions")
+    if sum(fractions) >= 1.0:
+        # cum >= 1.0 would render a 5-char boundary ('10000') that sorts
+        # BELOW every 4-hex-char prefix, silently starving that split;
+        # the remainder split owns whatever the fractions leave.
+        raise ValueError(
+            f"fractions must sum to < 1.0 (the last name takes the "
+            f"remainder); got sum={sum(fractions)}"
+        )
     fp = F.md5(F.concat(F.col(doc_col).cast("string"), F.lit(salt)).cast("binary"))
     prefix = F.substring(fp, 1, 4)
     cum = 0.0

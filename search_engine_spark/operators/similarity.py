@@ -86,11 +86,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    The sign is taken on the dot product ROUNDED to 6 decimals so the
+    bucket assignment is engine-portable: two engines summing the same
+    products in different orders agree to ~1e-12, and quantizing at 1e-6
+    means a sign can only flip if the true projection sits within 1e-12
+    of a 5e-7 boundary — never, for real embeddings. This makes the whole
+    operator reproducible in the DuckDB driver oracle (and across Spark
+    versions / partitionings)."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot_col(vec, plane_col) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.when(
+            F.round(dot_col(vec, plane_col), 6) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
@@ -286,13 +296,19 @@ def cosine_dup_pairs(
 
     The threshold is applied to the ROUNDED cosine (same in the DuckDB
     oracle) so accumulation noise at the boundary can't flip membership.
+
+    NULL vectors are dropped explicitly (a NULL in whichever row ``first()``
+    happens to return must not zero out the whole result — the emptiness
+    guard checks only for a truly empty input).
     """
     row = embeddings.select(vec_col).first()
-    if row is None or row[0] is None:  # empty input: no pairs, stable schema
+    if row is None:  # empty input: no pairs, stable schema
         return _empty_pairs(embeddings, id_col)
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", norm_col(F.col("v")))
+    base = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm_col(F.col("v")))
+    )
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("n").alias("an")
     )
@@ -331,11 +347,12 @@ def cosine_pairs_lsh_multi(
     (two hash joins on vec_id). Bucket key space is n_tables * 2^n_planes,
     bounding every reduce group.
     """
-    row = embeddings.select(vec_col).first()
-    if row is None or row[0] is None:  # empty input: no pairs, stable schema
+    nn = embeddings.filter(F.col(vec_col).isNotNull())
+    row = nn.select(vec_col).first()
+    if row is None:  # no non-null vectors: no pairs, stable schema
         return _empty_pairs(embeddings, id_col)
     dim = len(row[0])
-    base = embeddings.select(
+    base = nn.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     bucket_cols = [
@@ -387,12 +404,13 @@ def cosine_pairs_lsh(
     Candidate pairs share an LSH bucket; exact cosine verifies. At corpus
     scale the bucket count 2^n_planes bounds each reduce group.
     """
-    row = embeddings.select(vec_col).first()
-    if row is None or row[0] is None:  # empty input: no pairs, stable schema
+    nn = embeddings.filter(F.col(vec_col).isNotNull())
+    row = nn.select(vec_col).first()
+    if row is None:  # no non-null vectors: no pairs, stable schema
         return _empty_pairs(embeddings, id_col)
     dim = len(row[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    base = embeddings.select(
+    base = nn.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = base.alias("a")

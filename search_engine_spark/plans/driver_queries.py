@@ -351,6 +351,32 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(_emb(spark, sf_dir), threshold=EMB_DUP_THRESHOLD)
 
 
+# 100-TB ANN-pair path: OR-amplified sign-LSH (see similarity.py docstring).
+# Deterministic seeded hyperplanes + 1e-6-quantized sign decisions make the
+# bucket assignment — and hence the WHOLE operator — DuckDB-expressible, so
+# the scale path gets the same three-way (rows/schema/hash) gate as the
+# exact auditor (VERDICT r03 #1).
+LSH_N_TABLES = 4
+LSH_N_PLANES = 6
+LSH_SEED = 42
+EMB_DIM = 64  # all driver embeddings tables are 64-dim (TESTDATA.md)
+
+
+def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup pairs — the bucketed ANN path a 100 TB user runs
+    (vectors never ride the exploded shuffle; candidates bounded per
+    bucket). Same threshold as the exact auditor so recall is auditable."""
+    from search_engine_spark.operators.similarity import cosine_pairs_lsh_multi
+
+    return cosine_pairs_lsh_multi(
+        _emb(spark, sf_dir),
+        n_tables=LSH_N_TABLES,
+        n_planes=LSH_N_PLANES,
+        threshold=EMB_DUP_THRESHOLD,
+        seed=LSH_SEED,
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_stats(_events(spark, sf_dir))
 
@@ -506,26 +532,138 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
-def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13: KMeans cluster size distribution (rows-only; ML pipeline)."""
-    from search_engine_spark.operators.clustering import cluster_documents, cluster_sizes
+# --- clustering driver gate (VERDICT r03 #2) -------------------------------
+# KMeans/Word2Vec outputs aren't SQL-derivable, so the DuckDB gate works
+# over a STAGED deterministic label assignment (fixed k + seeds; the
+# pipeline is bit-deterministic — pytest-asserted): the Spark entry writes
+# labels (and the keyword result) to a fixed staging dir, and the oracle
+# (a) re-derives everything SQL can reach from documents + staged labels —
+# eligibility count, per-cluster sizes, the full tf-contrast
+# (distinctiveness) arithmetic including the first-1000-other-docs sample
+# policy — and (b) reads only the genuinely non-SQL scalars (the
+# coherence-bearing composite score) back from staging. A wrong label
+# partition, a wrong size, a keyword outside its cluster's vocabulary, or
+# wrong contrast arithmetic all flip rows or the hash.
+CLUSTER_K = 4
+_STAGE_DIR = None
 
-    labels = cluster_documents(_docs(spark, sf_dir), n_clusters=4)
+
+def _stage_dir() -> str:
+    global _STAGE_DIR
+    if _STAGE_DIR is None:
+        import os
+        import tempfile
+
+        _STAGE_DIR = os.path.join(tempfile.gettempdir(), "se_spark_driver_stage")
+    return _STAGE_DIR
+
+
+def _staged_cluster_labels(spark: SparkSession, sf_dir: str):
+    """Run the seeded clustering pipeline, stage labels as parquet, and
+    return (labels-reread-from-staging, word_vectors) — both engines then
+    aggregate the identical staged bytes."""
+    from search_engine_spark.operators.clustering import cluster_pipeline
+
+    docs = _docs(spark, sf_dir)
+    labels, wv = cluster_pipeline(docs, n_clusters=CLUSTER_K)
+    path = f"{_stage_dir()}/cluster_labels"
+    labels.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), wv
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: KMeans cluster size distribution over the staged deterministic
+    label assignment; the oracle recomputes sizes in DuckDB AND asserts the
+    labels partition exactly the eligible (non-empty-token) corpus."""
+    from search_engine_spark.operators.clustering import cluster_sizes
+
+    labels, _ = _staged_cluster_labels(spark, sf_dir)
     return cluster_sizes(labels)
 
 
-def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 full keyword scorer: path/contrast/coherence + diversity pick
-    (rows-only; Word2Vec coherence has no SQL equivalent — parity is
-    pytest-enforced against oracle_cluster_keywords)."""
-    from search_engine_spark.operators.clustering import (
-        cluster_keywords_full,
-        cluster_pipeline,
+def _keyword_distinctiveness(docs: DataFrame, labels: DataFrame,
+                             contrast_sample: int = 1000) -> DataFrame:
+    """(cluster_id, term, distinctiveness): the A12 tf-contrast component
+    recomputed RELATIONALLY (same definition the DuckDB oracle re-derives
+    from scratch): c/total_in_cluster - oc/total_in_first-1000-other-docs,
+    clamped at 0, rounded at 1e-9 (identical integer inputs -> identical
+    IEEE doubles on both engines; the round guards format edges)."""
+    from pyspark.sql.window import Window
+
+    from search_engine_spark.operators.clustering import keyword_token_arrays
+
+    kw = keyword_token_arrays(docs, CFG)
+    lab = labels.select("doc_id", "cluster_id")
+    cl_tf = lab.join(kw, "doc_id").groupBy("cluster_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = cl_tf.groupBy("cluster_id").agg(F.sum("c").alias("t"))
+    cids = lab.select("cluster_id").distinct().select(F.col("cluster_id").alias("cid"))
+    w = Window.partitionBy("cid").orderBy(F.col("doc_id").asc())
+    other_docs = (
+        cids.join(lab, F.col("cluster_id") != F.col("cid"))
+        .select("cid", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= contrast_sample)
+        .select("cid", "doc_id")
+    )
+    other_tf = (
+        other_docs.join(kw, "doc_id")
+        .groupBy("cid", "term")
+        .agg(F.count(F.lit(1)).alias("oc"))
+        # rename BOTH key columns so the join below can't resolve either
+        # side of its predicates to the same lineage (kw feeds cl_tf too)
+        .select(
+            F.col("cid").alias("o_cid"), F.col("term").alias("o_term"), "oc"
+        )
+    )
+    other_totals = other_tf.groupBy("o_cid").agg(F.sum("oc").alias("ot")).select(
+        F.col("o_cid").alias("ot_cid"), "ot"
+    )
+    return (
+        cl_tf.join(totals, "cluster_id")
+        .join(
+            other_tf,
+            (F.col("cluster_id") == F.col("o_cid")) & (F.col("term") == F.col("o_term")),
+            "left",
+        )
+        .join(other_totals, F.col("cluster_id") == F.col("ot_cid"), "left")
+        .select(
+            "cluster_id",
+            "term",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("c") / F.greatest(F.coalesce(F.col("t"), F.lit(0)), F.lit(1))
+                    - F.coalesce(F.col("oc"), F.lit(0))
+                    / F.greatest(F.coalesce(F.col("ot"), F.lit(0)), F.lit(1)),
+                ),
+                9,
+            ).alias("distinctiveness"),
+        )
     )
 
+
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 full keyword scorer (path/contrast/coherence + diversity pick)
+    over the staged labels, with the tf-contrast component surfaced as a
+    ``distinctiveness`` column the oracle RE-DERIVES from documents +
+    staged labels (the coherence-bearing ``score`` is the one non-SQL
+    scalar and is read from staging). Full-scorer parity stays
+    pytest-enforced against oracle_cluster_keywords."""
+    from search_engine_spark.operators.clustering import cluster_keywords_full
+
     docs = _docs(spark, sf_dir)
-    labels, wv = cluster_pipeline(docs, n_clusters=4)
-    return cluster_keywords_full(docs, labels, wv, CFG, top_n=5)
+    labels, wv = _staged_cluster_labels(spark, sf_dir)
+    res = cluster_keywords_full(docs, labels, wv, CFG, top_n=5)
+    out = res.join(_keyword_distinctiveness(docs, labels), ["cluster_id", "term"]).select(
+        "cluster_id", "term", "rank", F.col("score"), "distinctiveness"
+    )
+    path = f"{_stage_dir()}/cluster_keywords"
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(
+        "cluster_id", "term", "rank", "score", "distinctiveness"
+    )
 
 
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -558,6 +696,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "ivf_probe": q_ivf_probe,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -702,6 +841,138 @@ r{i} AS (
         + "".join(iters)
         + f"\nSELECT id AS doc_id, round(r, 8) AS rank FROM r{PAGERANK_ITERS}"
     )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of ``cosine_pairs_lsh_multi``: the SAME seeded
+    hyperplanes (inlined as double literals — float32-free, so both
+    engines see bit-identical plane values) and the SAME 1e-6-quantized
+    sign decision reproduce the bucket assignment exactly; candidates and
+    the exact-cosine verify then follow in plain SQL."""
+    from search_engine_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(seed: int) -> str:
+        planes = _hyperplanes(EMB_DIM, LSH_N_PLANES, seed)
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN round(list_dot_product(v, {lit}), 6) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + "\n   + ".join(terms) + ")"
+
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(LSH_SEED + t)} AS bucket FROM base"
+        for t in range(LSH_N_TABLES)
+    )
+    cos = (
+        "round(list_dot_product(va.v, vb.v)"
+        " / (sqrt(list_dot_product(va.v, va.v))"
+        " * sqrt(list_dot_product(vb.v, vb.v))), 4)"
+    )
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
+),
+buckets AS (
+{tables}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c JOIN base va ON va.vec_id = c.vec_a JOIN base vb ON vb.vec_id = c.vec_b
+WHERE {cos} >= {EMB_DUP_THRESHOLD}"""
+
+
+def _sql_stoplist_alpha() -> str:
+    """Stopwords that are pure lowercase-letter runs (the only ones a
+    ``[a-z]+``/``\\w+`` token can ever equal), ANY length — the keyword and
+    clustering tokenizers keep 1-char tokens, so the len>1 filter of
+    ``_sql_stoplist`` would diverge."""
+    stop = sorted(w for w in load_stopwords() if re.fullmatch(r"[a-z]+", w))
+    return ", ".join("'" + s + "'" for s in stop)
+
+
+def _cluster_sizes_oracle_sql() -> str:
+    """Sizes recomputed in DuckDB from the STAGED labels, guarded by the
+    partition invariant: the oracle returns zero rows (rows_match fails)
+    unless the staged labels cover exactly the eligible corpus — distinct
+    doc_ids, one per document whose clustering token array (F10 preprocess
+    + stopword filter, re-derived here in SQL) is non-empty."""
+    labels_glob = f"{_stage_dir()}/cluster_labels/*.parquet"
+    return f"""WITH lab AS (SELECT doc_id, cluster_id FROM read_parquet('{labels_glob}')),
+pre AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '\\d+\\.\\d+\\.\\d+', ' ', 'g'),
+               '\\b\\d{{4}}-\\d{{2}}-\\d{{2}}\\b', ' ', 'g'),
+               '\\b\\d+\\s*(days?|months?|years?)\\b', ' ', 'g'),
+               '[_-]', ' ', 'g'),
+               '[^\\w\\s]', ' ', 'g')),
+             '\\s+'),
+           x -> x <> '' AND NOT list_contains([{_sql_stoplist_alpha()}], x)) AS toks
+  FROM documents
+),
+elig AS (SELECT count(*) AS n FROM pre WHERE len(toks) > 0),
+chk AS (SELECT count(*) AS n, count(DISTINCT doc_id) AS nd FROM lab)
+SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM lab l, elig e, chk c
+WHERE c.n = e.n AND c.nd = e.n
+GROUP BY l.cluster_id"""
+
+
+def _cluster_keywords_oracle_sql(contrast_sample: int = 1000) -> str:
+    """Keyword gate: ``distinctiveness`` (the A12 tf-contrast component,
+    incl. the deterministic first-N-other-docs sample policy) is re-derived
+    from documents + staged labels entirely in SQL; an INNER join against
+    the staged keyword rows additionally enforces every keyword is drawn
+    from its own cluster's keyword vocabulary. Only the coherence-bearing
+    composite ``score`` is read from staging (Word2Vec has no SQL twin —
+    its parity is pytest-enforced against oracle/pyref.py)."""
+    labels_glob = f"{_stage_dir()}/cluster_labels/*.parquet"
+    kw_glob = f"{_stage_dir()}/cluster_keywords/*.parquet"
+    return f"""WITH lab AS (SELECT doc_id, cluster_id FROM read_parquet('{labels_glob}')),
+res AS (SELECT cluster_id, term, rank, score FROM read_parquet('{kw_glob}')),
+kw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         x -> length(x) > 2 AND NOT list_contains([{_sql_stoplist_alpha()}], x))) AS term
+  FROM documents
+),
+cl_tf AS (
+  SELECT l.cluster_id, k.term, count(*) AS c
+  FROM lab l JOIN kw k USING (doc_id) GROUP BY l.cluster_id, k.term
+),
+totals AS (SELECT cluster_id, sum(c) AS t FROM cl_tf GROUP BY cluster_id),
+cids AS (SELECT DISTINCT cluster_id AS cid FROM lab),
+other_docs AS (
+  SELECT cid, doc_id FROM (
+    SELECT c.cid, l.doc_id,
+           row_number() OVER (PARTITION BY c.cid ORDER BY l.doc_id ASC) AS rn
+    FROM cids c JOIN lab l ON l.cluster_id <> c.cid)
+  WHERE rn <= {contrast_sample}
+),
+other_tf AS (
+  SELECT s.cid, k.term, count(*) AS oc
+  FROM other_docs s JOIN kw k USING (doc_id) GROUP BY s.cid, k.term
+),
+other_totals AS (SELECT cid, sum(oc) AS ot FROM other_tf GROUP BY cid),
+dist AS (
+  SELECT f.cluster_id, f.term,
+         round(greatest(0.0,
+               CAST(f.c AS DOUBLE) / greatest(COALESCE(t.t, 0), 1)
+               - CAST(COALESCE(o.oc, 0) AS DOUBLE) / greatest(COALESCE(ot.ot, 0), 1)), 9)
+           AS distinctiveness
+  FROM cl_tf f
+  JOIN totals t ON t.cluster_id = f.cluster_id
+  LEFT JOIN other_tf o ON o.cid = f.cluster_id AND o.term = f.term
+  LEFT JOIN other_totals ot ON ot.cid = f.cluster_id
+)
+SELECT r.cluster_id, r.term, r.rank, r.score, d.distinctiveness
+FROM res r JOIN dist d ON d.cluster_id = r.cluster_id AND d.term = r.term"""
 
 
 def driver_oracle_sql() -> dict[str, str]:
@@ -1116,6 +1387,9 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
       >= {EMB_DUP_THRESHOLD}""",
+        "cosine_pairs_lsh": _lsh_oracle_sql(),
+        "cluster_sizes": _cluster_sizes_oracle_sql(),
+        "cluster_keywords": _cluster_keywords_oracle_sql(),
         # full-width probe == exact brute force, so the oracle is the same
         # cosine SQL as embedding_topk with the ivf query id
         "ivf_probe": f"""WITH q AS (

@@ -77,6 +77,17 @@ def test_components_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
+def test_components_raises_when_rounds_exhausted(spark):
+    # a 64-node path cannot converge in 1 round; silent non-convergence
+    # would return wrong components (ADVICE r03) — it must raise instead
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1).collect()
+
+
 def test_dup_clusters_includes_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 6)], "doc_a long, doc_b long")

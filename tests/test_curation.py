@@ -118,6 +118,12 @@ def test_hash_split_validates_names(spark):
     docs = spark.range(10).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError):
         hash_split(docs, fractions=(0.5,), names=("a",))
+    # fractions summing to >= 1.0 would render a 5-char '10000' boundary
+    # that silently starves the last fraction (ADVICE r03)
+    with _pytest.raises(ValueError):
+        hash_split(docs, fractions=(0.8, 0.2), names=("train", "val", "test"))
+    with _pytest.raises(ValueError):
+        hash_split(docs, fractions=(0.7, 0.4), names=("train", "val", "test"))
 
 
 def test_ngram_counts_matches_python(spark):

@@ -219,3 +219,27 @@ def test_lsh_pairs_empty_input(spark):
         out = fn(empty)
         assert out.columns == ["vec_a", "vec_b", "cosine"]
         assert out.count() == 0
+
+
+def test_null_vectors_dropped_not_fatal(spark):
+    """ADVICE r03: a NULL embedding in whatever row first() returns must
+    not zero out the result — NULL vectors are dropped, pairs among the
+    non-null rows still come back, for all three pair operators."""
+    v = (np.ones(8) / np.sqrt(8)).tolist()
+    # single partition with the NULL row first so first() sees it
+    df = spark.createDataFrame(
+        [(0, None), (1, v), (2, v)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    for fn in (
+        lambda d: cosine_dup_pairs(d, threshold=0.99),
+        lambda d: cosine_pairs_lsh(d, n_planes=4, threshold=0.99),
+        lambda d: cosine_pairs_lsh_multi(d, n_tables=2, n_planes=4, threshold=0.99),
+    ):
+        got = {(r["vec_a"], r["vec_b"]) for r in fn(df).collect()}
+        assert got == {(1, 2)}
+    # all-NULL input behaves like empty
+    allnull = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    for fn in (cosine_pairs_lsh, cosine_pairs_lsh_multi):
+        assert fn(allnull).count() == 0
