@@ -67,6 +67,7 @@ _CDATA_END = {
     "s": re.compile(r"(?i)</\s*script\s*>"),
     "y": re.compile(r"(?i)</\s*style\s*>"),
 }
+_COMMENT_CLOSE = re.compile(r"--\s*>")  # == _markupbase._commentclose
 _TAGNEXT = " \t\n\r\f\v/>"
 
 
@@ -98,14 +99,24 @@ def _fast_extract(html: str) -> str | None:
                 best, kind = p, k
         if best == -1:
             break
+        # conservative: the construct must start in a TEXT position. If the
+        # last '<' before it is never closed by a '>', html.parser would lex
+        # the construct as tag soup inside that open tag (e.g. '<a<!--x-->')
+        # — and span removal here could even glue a FAKE tag together from
+        # the '<' before and a '>' after the span. Any doubt -> parser.
+        lt = html.rfind("<", i, best)
+        if lt != -1 and html.find(">", lt, best) == -1:
+            return None
         if kind == "e":
             return None  # stray end tag in text position
         if kind == "c":
-            j = html.find("-->", best + 4)
-            if j == -1:
+            # html.parser (_markupbase._commentclose) ends a comment at
+            # '--\s*>' — '-- >' terminates it too, not just literal '-->'
+            cm = _COMMENT_CLOSE.search(html, best + 4)
+            if cm is None:
                 return None  # unterminated comment
-            spans.append((best, j + 3))
-            i = j + 3
+            spans.append((best, cm.end()))
+            i = cm.end()
             continue
         om = _OPEN_RE.match(html, best)
         if om is None:

@@ -89,6 +89,72 @@ FRAGS = [
 
 SOUP_ALPHABET = "<>/!-\"'&;ab s\tp#xcript styleSCRIPT="
 
+# Adversarial corpus (VERDICT r03 #5: bs4 is uninstallable here, so parity
+# hardening is differential vs the stdlib parser on the constructs where
+# HTML dialects disagree): malformed markup, entity/charref edges, CDATA,
+# conditional comments, nested/overlapping script-style, tag soup.
+ADVERSARIAL_CASES = [
+    # html.parser ends comments at '--\s*>' (_markupbase._commentclose),
+    # not just '-->' — regression for the fast-path fix
+    "<!-- < > -- >still comment? -->tail",
+    "<!-- -- >x",
+    "<!-- a --  >b",
+    "<!----->y",
+    "<!-- nested <!-- comment -->out",
+    # comment/script literal INSIDE an unclosed tag: span removal must not
+    # glue a fake tag from the '<' before and '>' after (regression)
+    "<a<!--x!-->!--  >",
+    "<a<!--x-->",
+    "<p <script>a</script>>b",
+    # conditional comments
+    "<!--[if IE]>old ie<![endif]-->after",
+    "<!--[if !IE]><p>not ie</p><![endif]-->x",
+    # CDATA (html.parser exposes it as unknown decl; fast path must bail)
+    "a<![CDATA[<p>hidden</p>]]>b",
+    "a<![CDATA[unterminated",
+    # nested / overlapping script-style
+    "<style><script>alert(1)</script></style>visible",
+    "<script><style>p{}</style></script>shown",
+    "<script>/* </style> inside script */</script>v",
+    "<script type='text/javascript'>if (a<b && b>c) {}</script>code",
+    "<script defer async>x</script>y",
+    "<STYLE TYPE='text/css'>c</STYLE>u",
+    "<style\n>css</style>t",
+    # entity / charref edges
+    "&#x110000;over &#xD800;surrogate &#0;nul",
+    "&copy no-semi &ampx &unknown;",
+    "&#38;#60;double",
+    "&amp;amp;&AMP;&aMp;",
+    # malformed tags and attributes
+    "<p\nclass='x'\nid='y'>multi\nline</p>",
+    "<p/ >selfclose</p>",
+    "</p attr='x'>weirdclose",
+    "<p title='unclosed>t</p>",
+    "<div data-x='<'>angle attr</div>",
+    "<!DOCTYPE <p>bogus</p>",
+    "<?xml version='1.0'?><p>pi</p>",
+    "a\x00b<p>null</p>",
+    "<p>ok</p><script>trailing",
+]
+
+# Constructs where the fast path MUST be conservative (bail to the parser):
+# verified suspicious shapes it cannot bound exactly.
+MUST_BAIL = [
+    "a<![CDATA[<p>hidden</p>]]>b",   # markup hidden inside CDATA
+    "a<![CDATA[unterminated",
+    "<?xml version='1.0'?><p>pi</p>",  # processing instruction
+    "<!DOCTYPE <p>bogus</p>",          # bogus declaration
+    "<p title='unclosed>t</p>",        # quote/angle ambiguity
+    "<div data-x='<'>angle attr</div>",
+    "<p>ok</p><script>trailing",       # unterminated CDATA element
+    "<script>unclosed",
+    "<!--unterminated",
+    "</script>stray end tag",
+    "<a<!--x-->",                      # construct inside an open tag
+    "<!-->",                           # degenerate comments
+    "<!--->x",
+]
+
 
 def test_hand_cases_exact():
     for c in HAND_CASES:
@@ -97,6 +163,49 @@ def test_hand_cases_exact():
         if fast is not None:
             assert fast == slow, c
         assert extract_text_py(c) == slow, c
+
+
+def test_adversarial_cases_exact():
+    """Every adversarial construct: fast path equals the parser when it
+    engages, and extract_text_py always equals the parser."""
+    for c in ADVERSARIAL_CASES:
+        slow = _parser_extract(c)
+        fast = _fast_extract(c)
+        if fast is not None:
+            assert fast == slow, c
+        assert extract_text_py(c) == slow, c
+
+
+def test_fast_path_is_conservative_on_suspicious_constructs():
+    """Any construct the regex model can't bound exactly must route to the
+    parser — never produce its own (possibly divergent) answer."""
+    for c in MUST_BAIL:
+        assert _fast_extract(c) is None, f"fast path should bail on {c!r}"
+
+
+def test_adversarial_fragment_fuzz_exact():
+    """Recombination fuzz over the adversarial alphabet (comment-close
+    variants, unclosed tags, CDATA, PIs): exactness whenever the fast path
+    engages."""
+    frags = [
+        "<!--", "-- >", "-->", "--  >", "a", " ", "<p>", "</p>", "<!--x",
+        "-- -", "<", ">", "!", "-", "<a", "<script>", "</script>",
+        "<style>", "</style>", "&amp;", "&#65;", "'", '"', "=",
+        "<a href='u'>", "<p =>", "<script >x</ script>y", "<![CDATA[",
+        "]]>", "<!DOCTYPE", "?>", "<?",
+    ]
+    rng = random.Random(5)
+    diffs, hits = [], 0
+    for _ in range(8000):
+        c = "".join(rng.choices(frags, k=rng.randint(1, 16)))
+        fast = _fast_extract(c)
+        if fast is None:
+            continue
+        hits += 1
+        if fast != _parser_extract(c):
+            diffs.append(c)
+    assert not diffs, diffs[:3]
+    assert hits > 500  # the fast path must still engage often enough
 
 
 @pytest.mark.parametrize("seed", [37, 41])
