@@ -3,6 +3,12 @@ measurement unit (north rule: same job, same input, N vs 4N cores).
 
 Usage: python tools/scaling_job.py local[8] /tmp/pages.parquet /tmp/idx_8 [shuffle_parts]
 
+Also accepts local-cluster[N,C,mem_mb] masters (separate worker/executor
+JVMs on one box — the multi-executor deployment shape). In that mode the
+job MUST be launched through spark-submit --py-files (see
+tools/bench_scaling_cluster.py): executor Python workers import the
+package from the shipped zip, not the driver's cwd.
+
 Pipeline measured: read pages parquet -> HTML extraction (pandas UDF) ->
 tokenize -> postings/stats -> compressed block-max index written to disk.
 Prints one JSON line {"master", "wall_sec", "docs", "docs_per_sec"}.
@@ -20,9 +26,17 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 
+def _total_cores(master: str) -> int:
+    inner = master.split("[", 1)[1].rstrip("]")
+    if master.startswith("local-cluster"):
+        n_exec, cores_per, _mem_mb = inner.split(",")
+        return int(n_exec) * int(cores_per)
+    return int(inner)
+
+
 def main() -> None:
     master, input_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    cores = int(master.split("[")[1].rstrip("]"))
+    cores = _total_cores(master)
     # partitioning must scale with cores for a fair strong-scaling run:
     # shuffle width 2x cores, and AQE must not coalesce below core count
     # (default 64MB advisory size would squeeze this corpus to ~1 partition)
