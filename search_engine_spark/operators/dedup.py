@@ -123,7 +123,7 @@ def minhash_signatures_from_terms(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame, rows_per_band: int = 2, max_bucket_size: int | None = None
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs sharing >=1 LSH band bucket.
 
@@ -131,7 +131,22 @@ def lsh_candidate_pairs(
     recompute the full tokenize->signature->band subtree (verified in the
     physical plan — ReuseExchange does not fire across the join's build and
     stream sides). The cache is registered in ``_LIVE_CACHES`` — call
-    ``unpersist_dedup_caches()`` after consuming the result."""
+    ``unpersist_dedup_caches()`` after consuming the result.
+
+    ``max_bucket_size`` is the mega-bucket guard for web-scale corpora: a
+    bucket of m documents emits m^2 candidate rows INSIDE ONE JOIN KEY, so a
+    single boilerplate-heavy bucket (cookie banners, parked domains, mirror
+    farms) becomes one quadratic straggler task that no partition-level skew
+    handling can split (observed live: a 2M-doc soak spent its tail on one
+    such task with 255 GB of spill). With the cap, buckets larger than
+    ``max_bucket_size`` are dropped BEFORE the self-join via a slim window
+    count over the same (band, band_key) clustering the join shuffles on
+    anyway. Recall cost is bounded and principled: members of a dropped
+    bucket still pair through their OTHER bands (for genuinely-similar but
+    non-identical docs, band collisions are near-independent), and fully
+    identical documents — whose buckets all explode together — are the
+    exact-dedup family's job, which ``curate_docs`` runs FIRST. Default None
+    preserves exhaustive semantics for oracle parity."""
     banded = signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
     band_keys = _persist_tracked(
         banded.groupBy("doc_id", "band").agg(
@@ -144,6 +159,15 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+        band_keys = (
+            band_keys.withColumn("_bsz", bsz)
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (
@@ -213,6 +237,7 @@ def minhash_dup_pairs(
     doc_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
@@ -220,6 +245,9 @@ def minhash_dup_pairs(
     sets may differ from md5 (different random permutations) but every
     returned pair is EXACT-Jaccard verified either way, and identical
     documents are always found (equal token sets -> equal signatures).
+    ``max_bucket_size`` (see ``lsh_candidate_pairs``) drops mega-buckets
+    before the self-join — set it at web scale after exact dedup has
+    already collapsed identical documents.
 
     The (doc_id, term) relation feeds three subtrees (signatures + both
     sides of the verify join); it is persisted so tokenization runs once
@@ -233,7 +261,7 @@ def minhash_dup_pairs(
     checkpoint."""
     terms = _persist_tracked(doc_terms(docs, cfg, doc_col, text_col).repartition("doc_id"))
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
-    pairs = lsh_candidate_pairs(sig, rows_per_band)
+    pairs = lsh_candidate_pairs(sig, rows_per_band, max_bucket_size)
     return jaccard_verify(terms, pairs, threshold)
 
 
@@ -278,6 +306,7 @@ def shingle_dup_pairs(
     doc_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """n-gram (shingle) Jaccard near-dup pipeline: (doc_a, doc_b, jaccard).
 
@@ -289,7 +318,7 @@ def shingle_dup_pairs(
     """
     terms = _persist_tracked(shingle_terms(docs, n, cfg, doc_col, text_col).repartition("doc_id"))
     sig = minhash_signatures_from_terms(terms, num_hashes, hash_fn)
-    pairs = lsh_candidate_pairs(sig, rows_per_band)
+    pairs = lsh_candidate_pairs(sig, rows_per_band, max_bucket_size)
     return jaccard_verify(terms, pairs, threshold)
 
 

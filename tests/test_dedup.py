@@ -134,3 +134,35 @@ def test_token_counts_bpe_regex(spark):
     assert got[2] == (0, 0)
     assert got[3] == (3, 4)
     assert got[0][1] >= got[0][0]  # BPE-ish never coarser than whitespace
+
+
+def test_max_bucket_size_drops_mega_buckets(spark):
+    """Web-scale guard: a bucket of m docs emits m^2 candidates inside ONE
+    join key (an unsplittable straggler task). With the cap, mega-bucket
+    members stop pairing through that bucket, while near-dups living in
+    small buckets are untouched. Identical docs collapse ALL their buckets
+    together, so they model the boilerplate pathology exactly — and they
+    are the exact-dedup family's job upstream, not LSH's."""
+    boiler = "cookie consent banner accept all manage preferences privacy"
+    rows = [(i, boiler) for i in range(100, 112)]  # 12 identical docs
+    rows += [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy cat tonight"),  # near dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dup_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dup_pairs(docs, threshold=0.5, max_bucket_size=10).collect()
+    }
+    mega = {(a, b) for a in range(100, 112) for b in range(a + 1, 112)}
+    assert mega <= full          # uncapped finds the whole clique (66 pairs)
+    assert (0, 1) in full
+    assert capped & mega == set()  # all mega-bucket pairs suppressed
+    assert (0, 1) in capped        # small-bucket near-dup survives
+    assert capped <= full          # cap only ever removes pairs
+    docs.unpersist()
