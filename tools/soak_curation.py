@@ -7,8 +7,10 @@ layer the same evidence: no driver aborts, per-stage wall times, and
 per-stage shuffle read/write volumes (REST API deltas) — checking the
 one-slim-exchange claim of PLANS.md §5c at ~400x the driver-gate scale.
 
-Usage: python tools/soak_curation.py [n_pages] [num_hashes] [rows_per_band]
-Prints one JSON line.
+Usage: python tools/soak_curation.py [n_pages] [num_hashes] [rows_per_band] [max_bucket_size]
+max_bucket_size (default 0 = uncapped) passes the LSH mega-bucket guard
+through to minhash_dup_pairs — run capped vs uncapped at the same N for
+the straggler A/B. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 NUM_HASHES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 ROWS_PER_BAND = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+MAX_BUCKET = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # 0 = uncapped
 
 
 def _shuffle_totals(ui: str) -> tuple[int, int]:
@@ -62,7 +65,12 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     ui = spark.sparkContext.uiWebUrl or ""
-    out: dict = {"n_pages": N, "cores": int(cpus), "stages": {}}
+    out: dict = {
+        "n_pages": N,
+        "cores": int(cpus),
+        "max_bucket_size": MAX_BUCKET or None,
+        "stages": {},
+    }
 
     def stage(name: str, fn):
         """fn must MATERIALIZE (run an action) and return the row count —
@@ -126,6 +134,7 @@ def main() -> None:
     pairs = minhash_dup_pairs(
         surv, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
         threshold=0.7, doc_col="url", hash_fn="xxhash64",
+        max_bucket_size=MAX_BUCKET or None,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     stage("minhash_pairs", pairs.count)
 
