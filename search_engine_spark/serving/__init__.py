@@ -9,6 +9,7 @@ scheduling floor (~1-3 s) makes it the wrong tool for interactive p50;
 the index files are the hand-off contract.
 """
 
+from search_engine_spark.serving.sharded import IndexShard, ShardedWarmReader
 from search_engine_spark.serving.warm_reader import WarmIndexReader
 
-__all__ = ["WarmIndexReader"]
+__all__ = ["WarmIndexReader", "ShardedWarmReader", "IndexShard"]

@@ -30,12 +30,10 @@ Two load modes:
   and a cold term costs a few pruned row-group reads, not an index scan.
 
 Scale note (10^12 docs): one process cannot hold doc-dense arrays for a
-trillion docs — the deployment there is the same reader sharded by the
-index's range partitioning (each serving shard loads a contiguous
-``part_id`` slice of postings plus its doc_dim slice and the full
-term_stats, which is vocabulary-sized, not corpus-sized; a thin
-scatter-gather merges per-shard top-k by the same tie policy). The
-single-process reader below is that shard.
+trillion docs — the deployment there is term-range sharding over the
+index's (term, doc_int) range partitioning with partial-score
+scatter-gather, implemented (and identity-tested against this reader)
+in ``serving/sharded.py``.
 """
 
 from __future__ import annotations

@@ -150,6 +150,57 @@ def test_negative_idf_trap_documents_table(spark, tmp_path):
     assert max(zeros) < min(negs)
 
 
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_sharded_identity_all_queries(index_path, warm_lazy, n_shards):
+    """Scatter-gather across term-range shards is result-identical to the
+    unsharded reader for EVERY shard count — partial-score summation,
+    weight applied once, same tie policy, same dense zero-pad."""
+    from search_engine_spark.serving import ShardedWarmReader
+
+    sharded = ShardedWarmReader(index_path, n_shards, CFG)
+    assert len(sharded.shards) == min(n_shards, CFG.index_partitions)
+    for query in REFERENCE_QUERY_SET:
+        tokens = query_tokens_py(query)
+        want = warm_lazy.search_topk(tokens)
+        got = sharded.search_topk(tokens)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], query
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), query
+
+
+def test_sharded_negative_idf_mixed_regime(spark, tmp_path):
+    """Sharded gather reproduces the zero-pad-over-negative trap in the
+    mixed regime (pads AND negative matches in one result)."""
+    from search_engine_spark.serving import ShardedWarmReader
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_idx_sh")
+    cfg = EngineConfig(block_size=16, index_partitions=4)
+    build_compressed_index(docs, path, cfg, doc_col="doc_id", text_col="text")
+    warm = WarmIndexReader(path, cfg)
+    sharded = ShardedWarmReader(path, 3, cfg)
+    tokens = query_tokens_py("query")
+    want = warm.search_topk(tokens, top_k=95)
+    got = sharded.search_topk(tokens, top_k=95)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    assert any(s == 0.0 for _, _, s in got) and any(s < 0.0 for _, _, s in got)
+
+
+def test_shard_state_is_not_corpus_sized(index_path):
+    """Shards hold postings + vocab-sized idf only — no doc-dense arrays
+    (the property that makes the 10^12 sharding story true)."""
+    from search_engine_spark.serving import ShardedWarmReader
+
+    sharded = ShardedWarmReader(index_path, 4, CFG)
+    for shard in sharded.shards:
+        assert not hasattr(shard, "_doc_ids") and not hasattr(shard, "_doc_weights")
+    # the union of shard part_ids covers the index exactly once
+    all_pids = [p for s in sharded.shards for p in s.part_ids]
+    assert len(all_pids) == len(set(all_pids))
+
+
 def test_preload_reads_every_block(index_path, warm_preload):
     import pyarrow.parquet as papq
 
