@@ -74,6 +74,14 @@ def run_corpus(spark, df, doc_col, text_col, idx_dir, n_queries, vocab_cap=2000)
     pre = WarmIndexReader(idx_dir, preload=True)
     out["preload_load_sec"] = round(time.time() - t0, 2)
     out["preload"] = measure(pre, queries)
+
+    # sharded scatter-gather overhead (shards simulated in-process, so this
+    # measures protocol overhead — partial-dict gather + doc_id lookup —
+    # not network fan-out)
+    from search_engine_spark.serving import ShardedWarmReader
+
+    sh = ShardedWarmReader(idx_dir, 8)
+    out["sharded_8"] = measure(sh, queries)
     return out
 
 
