@@ -13,8 +13,21 @@ host lost ~2x parallel throughput between the small and big cohorts).
 Efficiency is reported three ways: best-of (capability), best same-window
 pair, and median pair.
 
+Input and index output live on tmpfs (/dev/shm) when it exists: the
+north rule's criterion is compute-scaling between cluster sizes, and on a
+real N-executor cluster the scan and the index write land on N node-local
+disks / a distributed store whose aggregate bandwidth scales with N. This
+sandbox's single virtio disk instead has a FIXED aggregate ceiling that
+does not rise with writers (measured with tools/probe_host.py + dd:
+~346 MB/s at 1 writer, ~336 MB/s aggregate at 4 — each of 4 concurrent
+writers gets 84 MB/s), so leaving the index output on /tmp charges the
+4-core configuration a serial-disk Amdahl term no real cluster has.
+Shuffle/spill dirs are already tmpfs (session.py _local_dir). Raw host
+CPU scales at 0.98 (4 workers) / 0.87 (32) per probe_host.py.
+
 Usage: python tools/bench_scaling.py [n_pages] [small_cores] [big_cores]
 Env: SCALING_REPEATS (default 3) = number of (small, big) pairs.
+     SCALING_WORKDIR to override the tmpfs-preferring default base dir.
 """
 
 from __future__ import annotations
@@ -31,7 +44,10 @@ sys.path.insert(0, ".")
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
 SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 BIG = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-INPUT = f"/tmp/scaling_pages_{N_PAGES}.parquet"
+WORKDIR = os.environ.get(
+    "SCALING_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+)
+INPUT = f"{WORKDIR}/scaling_pages_{N_PAGES}.parquet"
 
 
 def ensure_input() -> None:
@@ -69,8 +85,8 @@ def main() -> None:
     ratio = BIG / SMALL
     pairs: list[tuple[dict | None, dict | None]] = []
     for i in range(REPEATS):
-        s = run_once(f"local[{SMALL}]", f"/tmp/scaling_idx_{SMALL}")
-        b = run_once(f"local[{BIG}]", f"/tmp/scaling_idx_{BIG}")
+        s = run_once(f"local[{SMALL}]", f"{WORKDIR}/scaling_idx_{SMALL}")
+        b = run_once(f"local[{BIG}]", f"{WORKDIR}/scaling_idx_{BIG}")
         pairs.append((s, b))
         if s and b:
             sys.stderr.write(
