@@ -43,6 +43,26 @@ def load_stopwords(path: str = STOPWORDS_PATH) -> frozenset[str]:
         return frozenset(w.strip().lower() for w in text.splitlines())
 
 
+# Tolerance below which |average_idf| is treated as an exact 0. When a
+# corpus's raw idfs cancel, the float residue (~1e-16 scale) carries a SIGN
+# that depends on summation order — Spark partial aggs and the reference's
+# Python loop (utils/bm250kapi_weighted.py:43-51) can disagree on it. The
+# epsilon floor then amplifies that sign into every negative-idf term's
+# score, flipping the J1-note zero-pad ranking decision (scores agree to
+# 1e-9 but RANKS diverge; found by tests/test_property.py, round 4). Snap
+# the scalar to exactly 0.0 inside the deadband in BOTH engines — the same
+# medicine sign-LSH uses for its hyperplane sign decision
+# (operators/similarity.py lsh quantization at 1e-6). Real (non-cancelled)
+# averages of log-idfs sit orders of magnitude above 1e-12, so the deadband
+# only ever catches cancellation noise.
+AVERAGE_IDF_ZERO_TOL = 1e-12
+
+
+def snap_zero(x: float, tol: float = AVERAGE_IDF_ZERO_TOL) -> float:
+    """Return 0.0 when |x| < tol, else x unchanged (see AVERAGE_IDF_ZERO_TOL)."""
+    return 0.0 if abs(x) < tol else x
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     k1: float = 1.5

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig, snap_zero
 from search_engine_spark.index.codec import varbyte_encode, varbyte_encode_with_lengths
 
 POSTINGS_SCHEMA = StructType(
@@ -443,7 +443,12 @@ def build_compressed_index(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    average_idf = float(raw.agg(F.avg("idf_raw").alias("a")).collect()[0]["a"] or 0.0)
+    # snap_zero: same cancelled-average deadband as the logical index
+    # (config.AVERAGE_IDF_ZERO_TOL); corpus.json persists the snapped value
+    # so CompressedIndex / warm & sharded readers inherit it
+    average_idf = snap_zero(
+        float(raw.agg(F.avg("idf_raw").alias("a")).collect()[0]["a"] or 0.0)
+    )
     floor = cfg.epsilon * average_idf
     term_stats = raw.select(
         "term",

@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig, snap_zero
 from search_engine_spark.functions.tokenize import tokens_col
 
 
@@ -268,7 +268,10 @@ def build_bm25_index(
     )
     raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     avg_row = raw.agg(F.avg("idf_raw").alias("a")).collect()[0]
-    average_idf = float(avg_row["a"] or 0.0)
+    # snap_zero: a cancelled average's float-noise sign is summation-order
+    # dependent and the floor amplifies it into a rank flip (config.py
+    # AVERAGE_IDF_ZERO_TOL; oracle/pyref.py applies the same deadband)
+    average_idf = snap_zero(float(avg_row["a"] or 0.0))
     floor = cfg.epsilon * average_idf
     term_stats = raw.select(
         "term",

@@ -31,6 +31,8 @@ import math
 import re
 from dataclasses import dataclass, field
 
+from search_engine_spark.config import snap_zero
+
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
 
@@ -123,7 +125,11 @@ def build_oracle_index(
         total += v
         if v < 0:
             negative.append(term)
-    average_idf = total / len(idf) if idf else 0.0
+    # snap_zero deadband (config.AVERAGE_IDF_ZERO_TOL): when raw idfs cancel,
+    # the residue's sign depends on loop order vs Spark's partial-agg order;
+    # both engines snap to exactly 0.0 so the floor cannot amplify float
+    # noise into a rank flip (round-4 property-suite finding)
+    average_idf = snap_zero(total / len(idf)) if idf else 0.0
     floor = epsilon * average_idf
     for term in negative:
         idf[term] = floor

@@ -110,3 +110,52 @@ def test_bm25_matches_oracle_on_random_corpus(spark, case):
     assert [u for u, _ in got] == [u for u, _ in want], (docs, query)
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+# ------------------------------------------- pinned: cancelled-average_idf
+
+# Pinned regression for the round-4 judge finding: when the raw idfs cancel
+# in real arithmetic, the float residue (here ±2.2e-16 depending on
+# summation order) carries a SIGN that Spark's partial-agg order and the
+# oracle's loop order can disagree on; the epsilon floor amplifies that
+# sign into every negative-idf term's score and flips the J1-note zero-pad
+# ranking. config.snap_zero dead-bands the average at 1e-12 in BOTH
+# engines so a cancelled average is exactly 0.0.
+#
+# df multiset {1,1,1,3,3,3} over n=4 docs: idf(4,1) = -idf(4,3) exactly in
+# reals, and six-term summation leaves an order-dependent ±ulp residue
+# (verified by permuting the sum).
+CANCELLING_CORPUS = [
+    ("doc000", "aa bb cc"),
+    ("doc001", "aa bb cc"),
+    ("doc002", "aa bb cc"),
+    ("doc003", "uu vv ww"),
+]
+
+
+def test_average_idf_snaps_to_zero_on_cancelling_corpus(spark):
+    stop = load_stopwords()
+    oidx = build_oracle_index(CANCELLING_CORPUS, stop)
+    assert oidx.average_idf == 0.0
+    sdf = spark.createDataFrame(CANCELLING_CORPUS, "doc_id string, text string")
+    idx = build_bm25_index(sdf, doc_col="doc_id", text_col="text")
+    assert idx.average_idf == 0.0
+
+
+def test_bm25_rank_parity_when_average_idf_cancels(spark):
+    stop = load_stopwords()
+    oidx = build_oracle_index(CANCELLING_CORPUS, stop)
+    sdf = spark.createDataFrame(CANCELLING_CORPUS, "doc_id string, text string")
+    idx = build_bm25_index(sdf, doc_col="doc_id", text_col="text")
+    # "aa" hits only negative-raw-idf (floored) terms: every matched doc
+    # scores exactly 0.0 post-snap, so ranks reduce to the tie policy —
+    # identical across engines. "aa uu" mixes a floored and a positive term.
+    for query in ("aa", "aa bb cc", "aa uu", "uu"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_topk(idx, query.split()).orderBy("rank").collect()
+        ]
+        want = oracle_search(oidx, query, use_fuzzy=False)
+        assert [u for u, _ in got] == [u for u, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
