@@ -24,7 +24,7 @@ STOPWORDS_PATH = os.path.join(_DATA_DIR, "stopwords.txt")
 
 @lru_cache(maxsize=None)
 def load_stopwords(path: str = STOPWORDS_PATH) -> frozenset[str]:
-    """Stopword set, lowercased/stripped like reference build_text_index.py:102-104.
+    """Stopword set, lowercased/stripped like reference service/build_text_index.py:102-104.
 
     Falls back to importlib.resources so the package works from a
     --py-files zip (plain open() cannot read inside a zipimport path).

@@ -244,7 +244,7 @@ def extract_title_udf(html: pd.Series) -> pd.Series:
 
 
 class _FeatureCounter(HTMLParser):
-    """Structural page features (reference scrape_web.py:790-826 content
+    """Structural page features (reference service/scrape_web.py:790-826 content
     heuristics): header/code-block/outbound-link counts + text length."""
 
     def __init__(self) -> None:

@@ -2,7 +2,7 @@
 re-expressed as DataFrame transforms (the HTTP fetching itself is out of
 engine scope; the corpus arrives as a table, SURVEY.md §2.1 S4).
 
-- URL normalization (C5, reference scrape_web.py:273-295): resolve
+- URL normalization (C5, reference service/scrape_web.py:273-295): resolve
   relative hrefs against the page url (urljoin), strip fragments —
   vectorized pandas UDF over urllib (pure stdlib string work).
 - URL validity predicate (F8, scrape_web.py:242-271): same-domain prefix,

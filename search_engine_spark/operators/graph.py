@@ -3,7 +3,7 @@ top-5 (A10), and the combined document rank score (A6).
 
 Reference quirks reproduced faithfully:
 - Edge dedup is direction-insensitive — A->B and B->A collapse to the
-  FIRST-encountered edge (frozenset key, reference scrape_web.py:407-428).
+  FIRST-encountered edge (frozenset key, reference service/scrape_web.py:407-428).
 - PageRank (scrape_web.py:939-978): contribution of edge (s,t,w) is
   damping * prev[s] * w / out_degree_COUNT(s) (count, not weighted sum);
   teleport (1-d)/n for every node; L1 convergence test; dangling mass is

@@ -14,8 +14,8 @@ owns build, analytics and bulk scoring; a query front-end loads the
 SAME index files into RAM and serves p50 well under the per-Spark-job
 floor. The reference's own deployment is exactly this split — a
 prebuilt pickled index held warm by a web service
-(reference service/search_service.py:34-74 loads, then
-utils/bm250kapi_weighted.py:56-77 scores per request).
+(reference service/text_search.py:35-53 loads the pickled index once,
+then utils/bm250kapi_weighted.py:56-77 scores per request).
 
 Two load modes:
 

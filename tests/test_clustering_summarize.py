@@ -89,7 +89,7 @@ def test_cluster_sizes_and_keywords(tiny_pages, labels):
 
 def test_cluster_preprocess_spark_matches_python(spark):
     """F10: the native regexp chain == the pure-Python twin (which mirrors
-    reference document_clustering.py:307-318)."""
+    reference service/document_clustering.py:307-318)."""
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.clustering import (

@@ -3,7 +3,7 @@ missing half of BENCH.md's qps study): Spark builds the compressed
 index once; `serving.WarmIndexReader` loads the SAME parquet files and
 answers single queries without any Spark job — the reference's own
 deployment split (prebuilt index held warm by a service,
-reference service/search_service.py:34-74). Reports per-query latency
+reference service/text_search.py:35-53). Reports per-query latency
 percentiles and sustained single-query qps for both load modes, plus
 the cold-start (load) time, printing ONE JSON line.
 
