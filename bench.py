@@ -22,9 +22,20 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    # Bound the bench JVM: on this single host spark.local.dir lives on
+    # tmpfs, so heap + shuffle/persist spill share ONE 125 GiB RAM budget.
+    # The round-4 bench died to the kernel OOM-killer at 48g heap + 72 GB
+    # tmpfs spill; 32g heap leaves ~90 GiB of headroom for spill and the
+    # OS (VERDICT r04 "What's wrong" #1c). Env override still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     from search_engine_spark.functions.tokenize import query_tokens_py
     from search_engine_spark.operators.corpus_stats import build_bm25_index
-    from search_engine_spark.operators.dedup import minhash_dup_pairs, simhash
+    from search_engine_spark.operators.dedup import (
+        minhash_dup_pairs,
+        shingle_dup_pairs,
+        simhash,
+        unpersist_dedup_caches,
+    )
     from search_engine_spark.operators.events import hourly_event_stats, sessionize
     from search_engine_spark.operators.scoring import search_topk
     from search_engine_spark.operators.similarity import cosine_topk
@@ -112,37 +123,49 @@ def main() -> None:
     # headline stays the md5 (oracle-portable) path for round-over-round
     # comparability; the xxhash64 integer-minhash scale variant is timed
     # alongside
+    # every dedup pipeline registers MEMORY_AND_DISK caches (band keys,
+    # term sets); with tmpfs-backed local.dir those accumulate in the SAME
+    # RAM budget as the heap, so release them after each entry (VERDICT
+    # r04 "What's wrong" #1b)
     timed("dedup_minhash_lsh", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
+    unpersist_dedup_caches()
     timed(
         "dedup_minhash_xxh64",
         lambda: minhash_dup_pairs(docs, threshold=0.5, hash_fn="xxhash64").count(),
     )
+    unpersist_dedup_caches()
     timed("dedup_simhash", lambda: simhash(docs).count())
+    unpersist_dedup_caches()
 
     # Realistic-vocabulary dedup (VERDICT r03 #3): the sf0.1 documents
     # table has a 29-term vocabulary, which makes ~3/4 of ALL pairs LSH
     # candidates — a worst-case pathology, kept above as the adversarial
     # entry, but useless for round-over-round comparison (candidate
-    # verification + first-run JIT dominate and swing 3-8x). These run the
-    # SAME pipeline on the 2000-term-Zipf pages corpus (~200 distinct
-    # terms/doc), where banding behaves like web dedup and timings are
-    # stable.
+    # verification + first-run JIT dominate and swing 3-8x). The 50k-page
+    # entry runs SHINGLE (3-gram) LSH: round 4's token-SET banding on this
+    # Zipf corpus made 13.7% of ALL pairs candidates (~171M pairs at 50k —
+    # OOM-killed the bench JVM; VERDICT r04 #1a). Shingle space is
+    # |V|^n-sparse, so the pathology disappears structurally — measured by
+    # tools/lsh_candidate_rate.py before this entry was committed
+    # (BENCH.md candidate-rate table).
     from search_engine_spark.sources.synth import synth_pages_df
 
     pages = synth_pages_df(spark, 50_000).persist()
     pages.count()  # materialize: entries time dedup, not generation
     timed(
-        "dedup_pages50k",
-        lambda: minhash_dup_pairs(
+        "dedup_pages50k_shingle",
+        lambda: shingle_dup_pairs(
             pages, threshold=0.5, doc_col="url", text_col="text"
         ).count(),
     )
+    unpersist_dedup_caches()
     timed(
-        "dedup_pages50k_xxh64",
-        lambda: minhash_dup_pairs(
+        "dedup_pages50k_shingle_xxh64",
+        lambda: shingle_dup_pairs(
             pages, threshold=0.5, doc_col="url", text_col="text", hash_fn="xxhash64"
         ).count(),
     )
+    unpersist_dedup_caches()
     pages.unpersist()
 
     # pairs -> clusters endgame: connected components (large-star/small-star)

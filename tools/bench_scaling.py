@@ -71,6 +71,16 @@ def run_once(master: str, out: str) -> dict | None:
     )
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
+        # ENOSPC on the workdir is NOT a transient VM hiccup: tmpfs is
+        # full (likely leftovers from a previous campaign) and every
+        # further rep would silently fail the same way, distorting the
+        # efficiency number — abort loudly instead of dropping the rep
+        if "No space left on device" in p.stderr:
+            raise RuntimeError(
+                f"ENOSPC on {WORKDIR} during scaling_job ({master}): free "
+                f"{_free_gb(WORKDIR):.1f} GB — clean {WORKDIR}/scaling_* "
+                f"leftovers and re-run"
+            )
         # transient subprocess death (VM-level): report and let the
         # remaining repeats carry the measurement instead of crashing
         sys.stderr.write(
@@ -80,8 +90,50 @@ def run_once(master: str, out: str) -> dict | None:
     return json.loads(lines[-1])
 
 
+def _free_gb(path: str) -> float:
+    import shutil
+
+    return shutil.disk_usage(path).free / 1e9
+
+
+def _du_gb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total / 1e9
+
+
+def _cleanup() -> None:
+    """Free the campaign's tmpfs footprint: both index outputs always, the
+    input parquet unless SCALING_KEEP_INPUT=1 (tmpfs holds RAM until
+    deleted, and stale inputs for other N_PAGES accumulate across runs)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{WORKDIR}/scaling_idx_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    if os.environ.get("SCALING_KEEP_INPUT") != "1":
+        shutil.rmtree(INPUT, ignore_errors=True)
+
+
 def main() -> None:
     ensure_input()
+    # preflight: each rep writes a full index (~input-sized) per config;
+    # two configs live simultaneously at pair boundaries. Require room for
+    # ~3x the input + 2 GB slack BEFORE burning an hour of reps (ADVICE
+    # r04: a full tmpfs surfaced as silently-dropped reps).
+    input_gb = _du_gb(INPUT)
+    need_gb = 3 * input_gb + 2
+    if _free_gb(WORKDIR) < need_gb:
+        raise RuntimeError(
+            f"{WORKDIR} has {_free_gb(WORKDIR):.1f} GB free but the campaign "
+            f"needs ~{need_gb:.1f} GB (input {input_gb:.1f} GB x2 index "
+            f"outputs + slack) — clean {WORKDIR}/scaling_* leftovers first"
+        )
     ratio = BIG / SMALL
     pairs: list[tuple[dict | None, dict | None]] = []
     for i in range(REPEATS):
@@ -153,4 +205,7 @@ target >= 0.8: {'PASS' if result['pass'] else 'FAIL'})
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        _cleanup()

@@ -22,29 +22,50 @@ import os
 import time
 
 
-def _work(args: tuple[int, float]) -> int:
-    """Hash a 1 MiB buffer repeatedly for ~seconds; return iterations."""
+_BARRIER = None
+
+
+def _init_barrier(barrier) -> None:
+    global _BARRIER
+    _BARRIER = barrier
+
+
+def _work(args: tuple[int, float]) -> tuple[int, float, float]:
+    """Hash a 1 MiB buffer repeatedly for ~seconds; return (iterations,
+    start, end). All workers rendezvous at a barrier BEFORE timing begins:
+    a spawn Pool staggers process start by hundreds of ms, and un-overlapped
+    head/tail time understates contention at high K (ADVICE r04)."""
     seed, seconds = args
     buf = bytes([seed % 256]) * (1 << 20)
+    if _BARRIER is not None:
+        _BARRIER.wait()
     n = 0
-    t_end = time.time() + seconds
+    t_start = time.time()
+    t_end = t_start + seconds
     while time.time() < t_end:
         hashlib.sha256(buf).digest()
         n += 1
-    return n
+    return n, t_start, time.time()
 
 
 def run(workers: int, seconds: float) -> dict:
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(workers)
     t0 = time.time()
-    with mp.get_context("spawn").Pool(workers) as pool:
-        iters = pool.map(_work, [(i, seconds) for i in range(workers)])
+    with ctx.Pool(workers, initializer=_init_barrier, initargs=(barrier,)) as pool:
+        results = pool.map(_work, [(i, seconds) for i in range(workers)])
     wall = time.time() - t0
-    total_mb = sum(iters)  # 1 MiB per iteration
+    total_mb = sum(n for n, _, _ in results)  # 1 MiB per iteration
+    # throughput over the measured FULL span (min start -> max end): with
+    # the barrier the spans coincide to ~ms, and the full span is the
+    # conservative denominator (never inflates aggregate throughput)
+    span = max(e for _, _, e in results) - min(s for _, s, _ in results)
     return {
         "workers": workers,
         "wall_sec": round(wall, 2),
-        "agg_mb_per_sec": round(total_mb / seconds, 1),
-        "per_worker_mb_per_sec": round(total_mb / seconds / workers, 1),
+        "measured_span_sec": round(span, 3),
+        "agg_mb_per_sec": round(total_mb / span, 1),
+        "per_worker_mb_per_sec": round(total_mb / span / workers, 1),
     }
 
 
