@@ -279,21 +279,23 @@ def shingle_terms(
     slice -> concat_ws), no Python. Word order matters: two documents with
     the same vocabulary but different word order share few shingles, which
     is exactly what distinguishes n-gram Jaccard from token-set Jaccard.
+
+    The token array is MATERIALIZED as a column in a first projection and
+    only the bound reference enters the n-gram transform's lambda: inlining
+    the tokenize expression there makes Catalyst re-evaluate the regex
+    tokenizer once PER SHINGLE POSITION (~doc-length x blowup — the same
+    pitfall ngram_counts hit, 200s vs 3s at sf0.1; see
+    text_quality.word_ngrams_col).
     """
     from search_engine_spark.functions.tokenize import index_tokens_col
+    from search_engine_spark.operators.text_quality import word_ngrams_col
 
-    toks = index_tokens_col(F.col(text_col), cfg.stopwords)
-    nsh = F.size(toks) - F.lit(n - 1)
-    shingles = F.when(
-        nsh >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nsh),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(doc_col).alias("doc_id"), F.explode(shingles).alias("term"))
+    base = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        index_tokens_col(F.col(text_col), cfg.stopwords).alias("toks"),
+    )
+    shingles = F.array_distinct(word_ngrams_col(F.col("toks"), n))
+    return base.select("doc_id", F.explode(shingles).alias("term"))
 
 
 def shingle_dup_pairs(

@@ -91,15 +91,31 @@ def main() -> None:
             print(json.dumps(r), flush=True)
         if len(per_corpus) >= 2 and per_corpus[0]["rate"] > 0:
             ratio = per_corpus[-1]["rate"] / per_corpus[0]["rate"]
-            verdict = (
-                "QUADRATIC-AT-SCALE (rate ~constant in n): cap buckets or "
-                "use shingles" if ratio > 0.5 else "rate decays with n: safe"
-            )
+            # a ~constant rate means candidates grow quadratically in n —
+            # dangerous only when the MAGNITUDE is high enough that the
+            # verify join's volume explodes at the target size. Project it.
+            target_n = int(os.environ.get("LSH_RATE_TARGET_N", "50000"))
+            proj = per_corpus[-1]["rate"] * target_n * (target_n - 1) // 2
+            if ratio > 0.5 and proj > 10_000_000:
+                verdict = (
+                    f"DANGEROUS: rate ~constant in n and ~{proj / 1e6:.0f}M "
+                    f"candidate pairs projected at n={target_n} — cap "
+                    "buckets (max_bucket_size) or use shingles"
+                )
+            elif ratio > 0.5:
+                verdict = (
+                    f"rate ~constant in n but only ~{proj / 1e3:.0f}k pairs "
+                    f"projected at n={target_n}: acceptable"
+                )
+            else:
+                verdict = "rate decays with n: safe"
             print(
                 json.dumps(
                     {
                         "corpus": cname,
                         "rate_ratio_largest_vs_smallest": round(ratio, 3),
+                        "projected_pairs_at_target": int(proj),
+                        "target_n": target_n,
                         "verdict": verdict,
                     }
                 ),
