@@ -78,8 +78,25 @@ def main() -> None:
         .select("url", extract_text_udf(F.col("html")).alias("text"))
         .persist()
     )
+    extracted.count()  # materialize: splits the extract phase out of build
+    t_extract = round(time.time() - t0, 2)
+    t1 = time.time()
     build_compressed_index(extracted, out_path, doc_col="url", text_col="text")
+    t_build = round(time.time() - t1, 2)
     wall = time.time() - t0
+
+    # per-stage walls from the build's own manifest: the scaling diagnosis
+    # needs to know WHICH stage fails to scale, not just the total
+    stage_walls = {}
+    try:
+        import os
+
+        with open(os.path.join(out_path, "_MANIFEST.json")) as f:
+            stage_walls = {
+                k: v.get("wall_sec") for k, v in json.load(f)["stages"].items()
+            }
+    except OSError:
+        pass
 
     print(
         json.dumps(
@@ -88,6 +105,9 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / wall, 2),
+                "extract_sec": t_extract,
+                "build_sec": t_build,
+                "stage_walls": stage_walls,
             }
         )
     )
