@@ -194,13 +194,36 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
         if n == 0:
             return
         term_arr = tbl.column("term").combine_chunks()
-        codes = pc.dictionary_encode(term_arr).indices.to_numpy(zero_copy_only=False)
         docs = tbl.column("doc_int").to_numpy(zero_copy_only=False).astype(np.int64)
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         dls = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
         wts = tbl.column("doc_weight").to_numpy(zero_copy_only=False).astype(np.float64)
         idfs = tbl.column("idf").to_numpy(zero_copy_only=False).astype(np.float64)
         part_id = int(tbl.column("pid")[0].as_py())
+
+        # (term, doc_int) ordering happens HERE, not in the JVM: the plan's
+        # sortWithinPartitions was the scaling bottleneck of the whole build
+        # (Tungsten row sort of ~2M UnsafeRows/partition; its task CPU
+        # INFLATED 1.76x when 4 tasks ran concurrently — round-5 per-stage
+        # scaling audit, BENCH.md). Sorting the partition in the kernel costs
+        # one C++ sort of the UNIQUE terms (arrow binary UTF-8 order ==
+        # Spark's UTF8String binary order) plus one numpy lexsort of the
+        # (term_rank, doc_int) int64 pairs — ~100ms where the JVM spent
+        # seconds, and it scales: the work rides the Python workers that the
+        # exchange already fans out to.
+        enc = pc.dictionary_encode(term_arr)
+        codes_u = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = enc.dictionary
+        dict_order = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dict_order), dtype=np.int64)
+        rank[dict_order] = np.arange(len(dict_order), dtype=np.int64)
+        term_rank = rank[codes_u]
+        order = np.lexsort((docs, term_rank))  # primary term_rank, then doc
+        codes = term_rank[order]
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        wts, idfs = wts[order], idfs[order]
+        # sorted-dictionary positions, for O(n_blocks) term-string lookups
+        sorted_dict = pc.take(dict_arr, pa.array(dict_order))
 
         idx = np.arange(n, dtype=np.int64)
         term_change = np.empty(n, dtype=bool)
@@ -240,7 +263,7 @@ def _encode_partition_arrow_factory(cfg: EngineConfig, avgdl: float):
         dmv, tmv, lmv = memoryview(d_bytes), memoryview(t_bytes), memoryview(l_bytes)
         wmv = memoryview(w_raw)
         val_cum = np.concatenate([[0], np.cumsum(counts)])
-        terms_at_starts = pc.take(term_arr, pa.array(starts)).to_pylist()
+        terms_at_starts = pc.take(sorted_dict, pa.array(codes[starts])).to_pylist()
         out = pa.record_batch(
             [
                 pa.array(terms_at_starts, type=pa.string()),
@@ -488,11 +511,14 @@ def build_compressed_index(
         # the child's partitioning, and shuffling idf with every posting
         # costs 8 bytes/row of pure exchange IO (measured 6.6 s at 40M
         # postings, local[4])
+        # NO sortWithinPartitions: the (term, doc_int) ordering is done by a
+        # numpy lexsort inside the encode kernel (see
+        # _encode_partition_arrow_factory) — the JVM row sort was the build's
+        # worst-scaling stage and the kernel already buffers the partition
         sorted_parts = (
             postings.repartitionByRange(cfg.index_partitions, "term", "doc_int")
             .join(F.broadcast(term_stats.select("term", "idf")), "term")
             .select("term", "doc_int", "tf", "doc_len", "doc_weight", "idf")
-            .sortWithinPartitions("term", "doc_int")
             .withColumn("pid", F.spark_partition_id())
         )
         encoded = sorted_parts.mapInArrow(

@@ -64,10 +64,26 @@ def ensure_input() -> None:
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 
 
+def _cores_of(master: str) -> int:
+    return int(master.split("[", 1)[1].rstrip("]"))
+
+
 def run_once(master: str, out: str) -> dict | None:
+    cmd = [sys.executable, "tools/scaling_job.py", master, INPUT, out]
+    # Pin the WHOLE process tree (JVM + forked Python UDF workers) to
+    # exactly N host CPUs for the local[N] leg (SCALING_PIN=0 opts out).
+    # Unpinned local[N] is NOT an N-core measurement on this box: the
+    # Python workers are separate processes, so an unpinned "local[1]" leg
+    # pipelines JVM-side shuffle/parquet work on one core WHILE a Python
+    # worker burns another — measured ~1.2-1.5 cores of host CPU — which
+    # inflates the small-leg baseline and caps measured efficiency well
+    # below the true dataflow scaling. A real 1-core executor has one core
+    # for JVM+Python combined; taskset reproduces that contract.
+    if os.environ.get("SCALING_PIN", "1") != "0":
+        cmd = ["taskset", "-c", f"0-{_cores_of(master) - 1}", *cmd]
     p = subprocess.run(
-        [sys.executable, "tools/scaling_job.py", master, INPUT, out],
-        capture_output=True, text=True, timeout=3600,
+        cmd,
+        capture_output=True, text=True, timeout=7200,
     )
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:

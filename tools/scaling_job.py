@@ -17,6 +17,7 @@ Prints one JSON line {"master", "wall_sec", "docs", "docs_per_sec"}.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -24,6 +25,24 @@ import time
 sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
+
+
+def _stage_wall(s: dict) -> float | None:
+    """submission->completion wall seconds from the REST API's GMT stamps."""
+    import datetime
+
+    try:
+        t0, t1 = s["submissionTime"], s["completionTime"]
+        fmt = "%Y-%m-%dT%H:%M:%S.%fGMT"
+        return round(
+            (
+                datetime.datetime.strptime(t1, fmt)
+                - datetime.datetime.strptime(t0, fmt)
+            ).total_seconds(),
+            2,
+        )
+    except (KeyError, ValueError):
+        return None
 
 
 def _total_cores(master: str) -> int:
@@ -55,6 +74,12 @@ def main() -> None:
             "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
             "spark.sql.files.maxPartitionBytes": "4m",
+            # the per-Spark-stage dump reads the monitoring REST API
+            **(
+                {"spark.ui.enabled": "true"}
+                if os.environ.get("SCALING_STAGE_DUMP") == "1"
+                else {}
+            ),
         },
     )
     pages = spark.read.parquet(input_path)
@@ -64,11 +89,22 @@ def main() -> None:
     # a tiny sample BEFORE the clock starts — cluster startup cost is not
     # part of steady-state indexing throughput (a real deployment reuses
     # warm executors; the north rule measures indexing throughput, not
-    # JVM/Python cold start)
+    # JVM/Python cold start). The warm run exercises the FULL pipeline —
+    # extract pandas UDF, tokenize mapInPandas, stats codegen, encode
+    # mapInArrow — not just extraction: round-5 phase timers showed the
+    # unwarmed staging/postings kernels paying first-execution JIT/import
+    # inside the timed region, a constant term that deflates the wide leg.
     warm = pages.limit(256).repartition(cores * 2)
-    warm.select(extract_text_udf(F.col("html")).alias("t")).agg(
-        F.sum(F.length("t"))
-    ).collect()
+    warm_ext = warm.select(
+        "url", extract_text_udf(F.col("html")).alias("text")
+    ).persist()
+    warm_ext.count()
+    # rmtree first: a stale .warm manifest from a crashed run would make the
+    # resume logic SKIP stages, silently leaving kernels cold
+    shutil.rmtree(out_path + ".warm", ignore_errors=True)
+    build_compressed_index(warm_ext, out_path + ".warm", doc_col="url", text_col="text")
+    warm_ext.unpersist()
+    shutil.rmtree(out_path + ".warm", ignore_errors=True)
 
     t0 = time.time()
     # extraction is the Python-heavy stage: spread it over all cores and
@@ -89,14 +125,47 @@ def main() -> None:
     # needs to know WHICH stage fails to scale, not just the total
     stage_walls = {}
     try:
-        import os
-
         with open(os.path.join(out_path, "_MANIFEST.json")) as f:
             stage_walls = {
                 k: v.get("wall_sec") for k, v in json.load(f)["stages"].items()
             }
     except OSError:
         pass
+
+    # SCALING_STAGE_DUMP=1: per-SPARK-stage walls via the monitoring REST
+    # API (duration = launch->complete; executorRunTime = summed task time).
+    # Comparing stage walls across core counts localizes any Amdahl term to
+    # an exact exchange/scan instead of a coarse build phase.
+    spark_stages = None
+    if os.environ.get("SCALING_STAGE_DUMP") == "1" and spark.sparkContext.uiWebUrl:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        try:
+            with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5) as r:
+                app_id = json.load(r)[0]["id"]
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+            ) as r:
+                raw = json.load(r)
+            spark_stages = sorted(
+                (
+                    {
+                        "id": s["stageId"],
+                        "name": s.get("name", "")[:60],
+                        "tasks": s.get("numCompleteTasks"),
+                        "wall_s": _stage_wall(s),
+                        "run_ms": s.get("executorRunTime"),
+                        "cpu_ms": round(s.get("executorCpuTime", 0) / 1e6),
+                        "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 2**20, 1),
+                        "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 2**20, 1),
+                    }
+                    for s in raw
+                ),
+                key=lambda d: -(d["wall_s"] or 0),
+            )
+        except Exception as e:  # diagnostic only — never fail the measurement
+            spark_stages = [{"error": str(e)}]
 
     print(
         json.dumps(
@@ -108,6 +177,7 @@ def main() -> None:
                 "extract_sec": t_extract,
                 "build_sec": t_build,
                 "stage_walls": stage_walls,
+                **({"spark_stages": spark_stages} if spark_stages else {}),
             }
         )
     )
