@@ -28,6 +28,14 @@ CPU scales at 0.98 (4 workers) / 0.87 (32) per probe_host.py.
 Usage: python tools/bench_scaling.py [n_pages] [small_cores] [big_cores]
 Env: SCALING_REPEATS (default 3) = number of (small, big) pairs.
      SCALING_WORKDIR to override the tmpfs-preferring default base dir.
+     SCALING_WEAK=1 = weak-scaling protocol: the small leg runs on
+     n_pages*small/big pages (per-core work held constant) instead of the
+     full input. This is the 100 TB deployment question asked directly —
+     "4x the executors AND 4x the data, same wall time?" — and the revised
+     protocol VERDICT r04 #4 offered for a host where strong scaling at
+     fixed size is bounded by per-job fixed costs. Efficiency is the same
+     formula either way: (R_big/R_small)/(big/small) over docs/sec, which
+     for weak scaling reduces to T_small/T_big (ideal 1.0).
 """
 
 from __future__ import annotations
@@ -47,18 +55,25 @@ BIG = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 WORKDIR = os.environ.get(
     "SCALING_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 )
+WEAK = os.environ.get("SCALING_WEAK") == "1"
+# weak scaling: per-core work constant -> small leg gets small/big of the pages
+N_SMALL = N_PAGES * SMALL // BIG if WEAK else N_PAGES
 INPUT = f"{WORKDIR}/scaling_pages_{N_PAGES}.parquet"
+INPUT_SMALL = f"{WORKDIR}/scaling_pages_{N_SMALL}.parquet" if WEAK else INPUT
 
 
 def ensure_input() -> None:
-    if os.path.exists(os.path.join(INPUT, "_SUCCESS")):
-        return
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.synth import synth_pages_df
 
-    spark = get_spark(app_name="gen-scaling-input", master="local[32]")
-    synth_pages_df(spark, N_PAGES, partitions=64).write.mode("overwrite").parquet(INPUT)
-    spark.stop()
+    spark = None
+    for n, path in {N_PAGES: INPUT, N_SMALL: INPUT_SMALL}.items():
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        spark = spark or get_spark(app_name="gen-scaling-input", master="local[32]")
+        synth_pages_df(spark, n, partitions=64).write.mode("overwrite").parquet(path)
+    if spark:
+        spark.stop()
 
 
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
@@ -68,8 +83,8 @@ def _cores_of(master: str) -> int:
     return int(master.split("[", 1)[1].rstrip("]"))
 
 
-def run_once(master: str, out: str) -> dict | None:
-    cmd = [sys.executable, "tools/scaling_job.py", master, INPUT, out]
+def run_once(master: str, out: str, input_path: str = INPUT) -> dict | None:
+    cmd = [sys.executable, "tools/scaling_job.py", master, input_path, out]
     # Pin the WHOLE process tree (JVM + forked Python UDF workers) to
     # exactly N host CPUs for the local[N] leg (SCALING_PIN=0 opts out).
     # Unpinned local[N] is NOT an N-core measurement on this box: the
@@ -134,6 +149,7 @@ def _cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
     if os.environ.get("SCALING_KEEP_INPUT") != "1":
         shutil.rmtree(INPUT, ignore_errors=True)
+        shutil.rmtree(INPUT_SMALL, ignore_errors=True)
 
 
 def main() -> None:
@@ -153,8 +169,8 @@ def main() -> None:
     ratio = BIG / SMALL
     pairs: list[tuple[dict | None, dict | None]] = []
     for i in range(REPEATS):
-        s = run_once(f"local[{SMALL}]", f"{WORKDIR}/scaling_idx_{SMALL}")
-        b = run_once(f"local[{BIG}]", f"{WORKDIR}/scaling_idx_{BIG}")
+        s = run_once(f"local[{SMALL}]", f"{WORKDIR}/scaling_idx_{SMALL}", INPUT_SMALL)
+        b = run_once(f"local[{BIG}]", f"{WORKDIR}/scaling_idx_{BIG}", INPUT)
         pairs.append((s, b))
         if s and b:
             sys.stderr.write(
@@ -190,6 +206,7 @@ def main() -> None:
     eff = max([eff_best] + ([eff_pair_best] if eff_pair_best else []))
     result = {
         "n_pages": N_PAGES,
+        **({"mode": "weak", "n_pages_small": N_SMALL} if WEAK else {}),
         "small": r_small,
         "big": r_big,
         "pair_efficiencies": pair_effs,
@@ -202,15 +219,21 @@ def main() -> None:
     }
     print(json.dumps(result))
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    hdr = (
+        f"WEAK scaling run {stamp} — {N_SMALL} pages @ local[{SMALL}] vs "
+        f"{N_PAGES} pages @ local[{BIG}] (per-core work constant; full build; interleaved pairs)"
+        if WEAK
+        else f"Scaling run {stamp} — {N_PAGES} pages (full build: extract -> tokenize -> stats -> compressed index; interleaved pairs)"
+    )
     with open("BENCH.md", "a") as f:
         f.write(
             f"""
-## Scaling run {stamp} — {N_PAGES} pages (full build: extract -> tokenize -> stats -> compressed index; interleaved pairs)
+## {hdr}
 
-| cores | best wall (s) | best docs/sec | all reps (docs/sec) |
-|---|---|---|---|
-| local[{SMALL}] | {r_small['wall_sec']} | {r_small['docs_per_sec']} | {r_small['all_runs_docs_per_sec']} |
-| local[{BIG}] | {r_big['wall_sec']} | {r_big['docs_per_sec']} | {r_big['all_runs_docs_per_sec']} |
+| cores | pages | best wall (s) | best docs/sec | all reps (docs/sec) |
+|---|---|---|---|---|
+| local[{SMALL}] | {N_SMALL} | {r_small['wall_sec']} | {r_small['docs_per_sec']} | {r_small['all_runs_docs_per_sec']} |
+| local[{BIG}] | {N_PAGES} | {r_big['wall_sec']} | {r_big['docs_per_sec']} | {r_big['all_runs_docs_per_sec']} |
 
 Per-pair efficiencies (same-window interleaved reps): {pair_effs}
 Scaling efficiency (R_{BIG}/R_{SMALL})/({BIG}/{SMALL}) = **{result['scaling_efficiency']}**
