@@ -17,9 +17,11 @@ same metadata an Iceberg commit would):
 
 Scale design:
 - dense docID assignment is the two-pass zipWithIndex pattern expressed in
-  DataFrames: repartitionByRange(doc_id) -> per-partition row_number
-  (parallel windows, partitioned by spark_partition_id) + driver-side
-  offsets from per-partition counts. No global single-partition window.
+  DataFrames: repartitionByRange(doc_id) -> per-partition row numbers from
+  monotonically_increasing_id's low 33 bits (zero extra exchange) +
+  driver-side offsets from per-partition counts. No window at all: a
+  PARTITION BY spark_partition_id window re-shuffles the full payload and
+  hash-collides the few pid keys into skewed buckets (see assign_dense_ids).
 - encoded postings are repartitionByRange(term, doc_int): a Zipf head term
   SPANS partitions instead of hammering one reducer (the salting answer for
   posting-list materialization), and the sorted order gives parquet
@@ -51,7 +53,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-from pyspark.sql.window import Window
 
 from search_engine_spark.config import DEFAULT_CONFIG, EngineConfig, snap_zero
 from search_engine_spark.index.codec import varbyte_encode, varbyte_encode_with_lengths
@@ -100,11 +101,27 @@ def assign_dense_ids(
     full-text shuffle (and at 2M docs Catalyst once auto-broadcast the
     doc-scale map and aborted on driver maxResultSize). ``handles`` (if
     given) receives the internal persisted relation so the caller can
-    unpersist it after the last downstream action."""
+    unpersist it after the last downstream action.
+
+    The per-partition row number comes from ``monotonically_increasing_id``
+    evaluated on the range-sorted partitions (its documented layout is
+    ``partition_index << 33 | row_index_within_partition``, so the low 33
+    bits ARE the dense within-partition row number in sorted order; rows
+    per range partition must stay below 2^33 ≈ 8.6e9 — at the target 32
+    partitions per job that is far beyond any realistic doc count). A
+    ``row_number() OVER (PARTITION BY pid)`` window would be wrong at
+    scale in two ways, measured on the 600k-page weak-scaling leg: it
+    hash-exchanges the FULL text payload a second time (the exchange this
+    function exists to avoid), and the exchange has only ``partitions``
+    distinct keys landing in ``spark.sql.shuffle.partitions`` buckets —
+    birthday collisions gave 13 non-empty skewed buckets for 32 pids at
+    width 16, and the downstream tokenize kernel inherited that skew
+    (staging stage: 1.32 ms·core/doc vs 0.30 balanced)."""
     parts = (
         df.repartitionByRange(partitions, id_col)
         .sortWithinPartitions(id_col)
         .withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)))
     )
     from pyspark import StorageLevel
 
@@ -120,10 +137,8 @@ def assign_dense_ids(
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], schema="pid int, off long"
     )
-    w = Window.partitionBy("pid").orderBy(id_col)
     return (
-        parts.withColumn("rn", F.row_number().over(w) - 1)
-        .join(F.broadcast(off_df), "pid")
+        parts.join(F.broadcast(off_df), "pid")
         .select(*df.columns, (F.col("off") + F.col("rn")).cast("long").alias("doc_int"))
     )
 
