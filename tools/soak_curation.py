@@ -86,6 +86,10 @@ def main() -> None:
             "shuffle_read_mb": round((r1 - r0) / 2**20, 1),
             "shuffle_write_mb": round((w1 - w0) / 2**20, 1),
         }
+        # incremental evidence: an aborted soak still leaves per-stage
+        # records on stderr (the round-4/5 aborts left only a stack trace)
+        print(f"STAGE {name} {json.dumps(out['stages'][name])}",
+              file=sys.stderr, flush=True)
         return rows
 
     pages = synth_pages_skewed_df(spark, N).persist(StorageLevel.MEMORY_AND_DISK)
